@@ -1,0 +1,123 @@
+"""Tests for MurmurHash3 closed form and the counting Bloom filter."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from varigraph_tpu.ops.cbf import (CountingBloomFilter, cbf_num_hashes,
+                                   cbf_size, make_seeds)
+from varigraph_tpu.ops.murmur3 import murmur3_x64_128_u64key
+
+
+def murmur3_x64_128_py(key: int, seed: int) -> int:
+    """Independent pure-Python port of the full MurmurHash3_x64_128 for an
+    8-byte key, used as the oracle for the closed form."""
+    M = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def fmix(h):
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & M
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & M
+        h ^= h >> 33
+        return h
+
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    h1 = h2 = seed & 0xFFFFFFFF
+    # len=8: no body blocks, tail = 8 bytes little-endian = key
+    k1 = (key * c1) & M
+    k1 = rotl(k1, 31)
+    k1 = (k1 * c2) & M
+    h1 ^= k1
+    h1 ^= 8
+    h2 ^= 8
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+    return (h1 + h2) & M
+
+
+def test_murmur_closed_form_matches_oracle():
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+    for seed in (0, 1, 0xDEADBEEF, (1 << 40) + 17):  # incl. >32-bit seed
+        got = np.asarray(murmur3_x64_128_u64key(jnp.asarray(keys), seed))
+        for ki, gi in zip(keys.tolist(), got.tolist()):
+            assert gi == murmur3_x64_128_py(ki, seed)
+
+
+def test_sizing_formulas():
+    # n=1000, p=0.01: m = ceil(1000*ln(.01)/ln(1/2^ln2)) = 9585, kh = 7
+    n, p = 1000, 0.01
+    m = cbf_size(n, p)
+    assert m == 9586 or m == 9585  # allow rounding edge; lock the value below
+    import math
+    expected = math.ceil((n * math.log(p)) / math.log(1.0 / math.pow(2.0, math.log(2.0))))
+    assert m == expected
+    kh = cbf_num_hashes(n, m)
+    assert kh == round(m * math.log(2.0) / n)
+
+
+def test_cbf_add_count_find():
+    bf = CountingBloomFilter(n=2000, p=0.01, seed=42)
+    rng = np.random.default_rng(3)
+    present = rng.integers(1, 1 << 60, size=500, dtype=np.uint64)
+    absent = rng.integers(1, 1 << 60, size=500, dtype=np.uint64)
+    absent = np.setdiff1d(absent, present)
+
+    bf.add(present)
+    bf.add(present[:100])  # second insertion for the first 100
+
+    counts = bf.count(present)
+    assert (counts >= 1).all()
+    assert (counts[:100] >= 2).all()
+    assert bf.find(present).all()
+
+    # false positive rate should be around p=1%
+    fp = bf.find(absent).mean()
+    assert fp < 0.05
+
+    # counts are (near) exact for distinct keys: min-over-positions may
+    # overcount on collisions, never undercount
+    assert (counts[100:] >= 1).all()
+
+
+def test_cbf_saturation_equivalence():
+    bf = CountingBloomFilter(n=100, p=0.01, seed=1)
+    key = np.array([12345], dtype=np.uint64)
+    # add in chunks totalling > 255
+    for _ in range(3):
+        bf.add(np.repeat(key, 100))
+    assert bf.count(key)[0] == 255
+
+
+def test_cbf_masked_add():
+    bf = CountingBloomFilter(n=100, p=0.01, seed=1)
+    keys = np.array([1, 2, 3], dtype=np.uint64)
+    bf.add(keys, mask=np.array([True, False, True]))
+    assert bf.count(np.array([1], np.uint64))[0] >= 1
+    assert bf.count(np.array([3], np.uint64))[0] >= 1
+    # key 2 was masked out; may still collide, but with tiny filter load it
+    # should be absent
+    assert bf.count(np.array([2], np.uint64))[0] == 0
+
+
+def test_cbf_determinism_and_save_load(tmp_path):
+    a = CountingBloomFilter(n=500, p=0.01, seed=7)
+    b = CountingBloomFilter(n=500, p=0.01, seed=7)
+    assert (a.seeds == b.seeds).all()
+    keys = np.arange(1, 200, dtype=np.uint64)
+    a.add(keys)
+    b.add(keys)
+    assert (np.asarray(a.filter) == np.asarray(b.filter)).all()
+
+    p = str(tmp_path / "bf.npz")
+    a.save(p)
+    c = CountingBloomFilter.load(p)
+    assert (c.count(keys) == a.count(keys)).all()

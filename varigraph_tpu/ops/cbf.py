@@ -1,0 +1,126 @@
+"""Counting Bloom filter over a device (HBM) counter array.
+
+Re-design of reference include/counting_bloom_filter.hpp + src/
+counting_bloom_filter.cpp for batched device execution:
+
+  * sizing formulas identical to the reference (:70-77):
+      m  = ceil(n * ln p / ln(1 / 2^ln2))
+      kh = round(m * ln 2 / n)          (round = half away from zero)
+  * per-key positions = (h1 + h2 of Murmur3 x64_128) mod m, one per seed
+    (:90-98), with the seed truncated to its low 32 bits as the reference
+    implicitly does.
+  * `add` saturates counters at 255 (:28-36).  Batched formulation: each
+    update round scatter-adds a uint32 histogram of positions and clamps,
+    which is exactly equivalent to per-element saturating increments
+    (min(255, v+a1+a2) == min(255, min(255, v+a1)+a2)).
+  * `count` = min counter over the kh positions (:51-67); `find` = all
+    counters nonzero (:40-48).
+
+Determinism: seeds are drawn from a seeded PCG64 stream instead of
+std::random_device (:80-87), so construct runs are reproducible.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .murmur3 import murmur3_x64_128_u64key
+
+_U64 = jnp.uint64
+
+
+def cbf_size(n: int, p: float) -> int:
+    """m = ceil(n * ln p / ln(1 / 2^ln2)) (counting_bloom_filter.cpp:70-72)."""
+    return int(math.ceil((n * math.log(p)) / math.log(1.0 / math.pow(2.0, math.log(2.0)))))
+
+
+def cbf_num_hashes(n: int, m: int) -> int:
+    """kh = round(m * ln2 / n), round half away from zero (:75-77)."""
+    return int(math.floor(m * math.log(2.0) / n + 0.5))
+
+
+def make_seeds(num_hashes: int, seed: int) -> np.ndarray:
+    """Deterministic uint64 hash seeds in [1, 2^64)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(1, np.iinfo(np.uint64).max, size=num_hashes, dtype=np.uint64)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _positions(hashes: jnp.ndarray, seeds: jnp.ndarray, m: int) -> jnp.ndarray:
+    """[N] u64 hashes x [kh] seeds -> [kh, N] u64 filter positions."""
+    out = jax.vmap(lambda s: murmur3_x64_128_u64key(hashes, s) % _U64(m))(seeds)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("m",), donate_argnums=(0,))
+def _add(filt: jnp.ndarray, hashes: jnp.ndarray, mask: jnp.ndarray,
+         seeds: jnp.ndarray, m: int) -> jnp.ndarray:
+    pos = _positions(hashes, seeds, m)  # [kh, N]
+    inc = jnp.broadcast_to(mask.astype(jnp.uint32), pos.shape)
+    hist = jnp.zeros((m,), jnp.uint32).at[pos.reshape(-1)].add(inc.reshape(-1))
+    return jnp.minimum(filt.astype(jnp.uint32) + hist, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _count(filt: jnp.ndarray, hashes: jnp.ndarray, seeds: jnp.ndarray, m: int):
+    pos = _positions(hashes, seeds, m)  # [kh, N]
+    vals = filt[pos]  # [kh, N] u8
+    return jnp.min(vals, axis=0)
+
+
+class CountingBloomFilter:
+    """Counting Bloom filter with a device-resident uint8 counter array."""
+
+    def __init__(self, n: int, p: float = 0.01, seed: int = 0,
+                 _from_state: tuple | None = None):
+        if _from_state is not None:
+            self.size, self.num_hashes, self.seeds, self.filter = _from_state
+            return
+        self.size = cbf_size(n, p)
+        self.num_hashes = cbf_num_hashes(n, self.size)
+        self.seeds = make_seeds(self.num_hashes, seed)
+        self.filter = jnp.zeros((self.size,), jnp.uint8)
+
+    # ------------------------------------------------------------------ ops
+    def add(self, hashes, mask=None) -> None:
+        hashes = jnp.asarray(hashes, dtype=jnp.uint64)
+        if mask is None:
+            mask = jnp.ones(hashes.shape, jnp.bool_)
+        else:
+            mask = jnp.asarray(mask, dtype=jnp.bool_)
+        self.filter = _add(self.filter, hashes, mask,
+                           jnp.asarray(self.seeds), self.size)
+
+    def count(self, hashes) -> np.ndarray:
+        hashes = jnp.asarray(hashes, dtype=jnp.uint64)
+        return np.asarray(_count(self.filter, hashes, jnp.asarray(self.seeds), self.size))
+
+    def find(self, hashes) -> np.ndarray:
+        return self.count(hashes) > 0
+
+    def occupancy(self) -> float:
+        """Fraction of nonzero counters (reference get_cap, :100-115)."""
+        return float(jnp.mean((self.filter > 0).astype(jnp.float32)))
+
+    # ---------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            size=np.uint64(self.size),
+            num_hashes=np.uint32(self.num_hashes),
+            seeds=self.seeds,
+            filter=np.asarray(self.filter),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CountingBloomFilter":
+        z = np.load(path)
+        return cls(0, _from_state=(
+            int(z["size"]), int(z["num_hashes"]), z["seeds"],
+            jnp.asarray(z["filter"]),
+        ))

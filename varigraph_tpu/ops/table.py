@@ -1,0 +1,144 @@
+"""Dense device-resident k-mer table.
+
+Replaces the reference's central ``unordered_map<uint64_t, kmerCovFreBitVec>``
+(include/construct_index.hpp:140) with structure-of-arrays device state:
+
+  keys     uint64 [M]      sorted k-mer encodings (hash64<<8|span)
+  cov      uint32 [M]      read coverage 'c'; exposed saturated at 255
+                           (reference src/fastq_kmer.cpp:135)
+  freq     uint8  [M]      graph frequency 'f', saturating
+                           (reference src/construct_index.cpp:663)
+  hapbits  uint32 [M, W]   one bit per haplotype, W = ceil(nhap/32)
+  refflag  bool   [M]      the reference's bit 7 of the last bitmap byte:
+                           "k-mer also occurs in the reference genome but not
+                           in this node's REF path"
+                           (src/construct_index.cpp:1211-1215)
+
+Lookup is a vectorized binary search (jnp.searchsorted); coverage update is a
+scatter-add with clamp, equivalent to the reference's per-read saturating
+increments.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_U64 = jnp.uint64
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _add_counts(cov: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
+    idx = jnp.searchsorted(keys, queries)
+    idx = jnp.minimum(idx, keys.shape[0] - 1)
+    found = (keys[idx] == queries) & mask
+    return cov.at[idx].add(found.astype(jnp.uint32), mode="drop")
+
+
+@jax.jit
+def _lookup(keys: jnp.ndarray, queries: jnp.ndarray):
+    idx = jnp.searchsorted(keys, queries)
+    idx = jnp.minimum(idx, keys.shape[0] - 1)
+    found = keys[idx] == queries
+    return jnp.where(found, idx, -1), found
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _count_hits(hits: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
+                mask: jnp.ndarray) -> jnp.ndarray:
+    idx = jnp.searchsorted(keys, queries)
+    idx = jnp.minimum(idx, keys.shape[0] - 1)
+    found = (keys[idx] == queries) & mask
+    return hits + jnp.sum(found.astype(jnp.uint64))
+
+
+def pack_hapbits(bitrows: np.ndarray) -> np.ndarray:
+    """[M, H] 0/1 matrix -> [M, W] uint32 words (hap i -> word i>>5, bit i&31)."""
+    m, h = bitrows.shape
+    w = (h + 31) // 32
+    padded = np.zeros((m, w * 32), dtype=np.uint32)
+    padded[:, :h] = bitrows.astype(np.uint32)
+    words = padded.reshape(m, w, 32)
+    shifts = np.arange(32, dtype=np.uint32)
+    return (words << shifts).sum(axis=2, dtype=np.uint32)
+
+
+def unpack_hapbits(words: np.ndarray, nhap: int) -> np.ndarray:
+    """[M, W] uint32 -> [M, nhap] uint8 0/1."""
+    m, w = words.shape
+    shifts = np.arange(32, dtype=np.uint32)
+    bits = (words[:, :, None] >> shifts) & np.uint32(1)
+    return bits.reshape(m, w * 32)[:, :nhap].astype(np.uint8)
+
+
+@dataclass
+class KmerTable:
+    keys: jnp.ndarray      # uint64 [M] sorted
+    cov: jnp.ndarray       # uint32 [M]
+    freq: jnp.ndarray      # uint8  [M]
+    hapbits: jnp.ndarray   # uint32 [M, W]
+    refflag: jnp.ndarray   # bool   [M]
+    nhap: int
+
+    # ----------------------------------------------------------- construction
+    @staticmethod
+    def build(keys: np.ndarray, freq: np.ndarray, hapbit_rows: np.ndarray,
+              refflag: np.ndarray, nhap: int) -> "KmerTable":
+        """Build from unsorted host arrays; hapbit_rows is [M, nhap] 0/1."""
+        order = np.argsort(keys, kind="stable")
+        keys = np.ascontiguousarray(keys[order])
+        return KmerTable(
+            keys=jnp.asarray(keys.astype(np.uint64)),
+            cov=jnp.zeros((len(keys),), jnp.uint32),
+            freq=jnp.asarray(freq[order].astype(np.uint8)),
+            hapbits=jnp.asarray(pack_hapbits(hapbit_rows[order])),
+            refflag=jnp.asarray(refflag[order].astype(np.bool_)),
+            nhap=nhap,
+        )
+
+    @property
+    def size(self) -> int:
+        return int(self.keys.shape[0])
+
+    # ------------------------------------------------------------------- ops
+    def lookup(self, queries) -> tuple[np.ndarray, np.ndarray]:
+        """Return (index or -1, found) for each query (host arrays)."""
+        q = jnp.asarray(queries, dtype=jnp.uint64)
+        idx, found = _lookup(self.keys, q)
+        return np.asarray(idx), np.asarray(found)
+
+    def add_counts(self, queries, mask=None) -> None:
+        """Increment coverage for present queries (saturating view at 255)."""
+        q = jnp.asarray(queries, dtype=jnp.uint64)
+        if mask is None:
+            mask = jnp.ones(q.shape, jnp.bool_)
+        else:
+            mask = jnp.asarray(mask, jnp.bool_)
+        self.cov = _add_counts(self.cov, self.keys, q, mask)
+
+    def cov_u8(self) -> np.ndarray:
+        """Coverage saturated to uint8, the reference's 'c'."""
+        return np.asarray(jnp.minimum(self.cov, 255).astype(jnp.uint8))
+
+    def reset_cov(self) -> None:
+        """Zero coverage between samples (reference ConstructIndex::reset,
+        include/construct_index.hpp:317-331)."""
+        self.cov = jnp.zeros_like(self.cov)
+
+    # ------------------------------------------------------------ host views
+    def keys_np(self) -> np.ndarray:
+        return np.asarray(self.keys)
+
+    def freq_np(self) -> np.ndarray:
+        return np.asarray(self.freq)
+
+    def hapbit_rows_np(self) -> np.ndarray:
+        return unpack_hapbits(np.asarray(self.hapbits), self.nhap)
+
+    def refflag_np(self) -> np.ndarray:
+        return np.asarray(self.refflag)
