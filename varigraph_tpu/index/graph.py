@@ -1,0 +1,476 @@
+"""Genome-graph model and VCF -> graph construction (host side).
+
+Behavioral port of reference ConstructIndex::construct
+(src/construct_index.cpp:188-473), vcf_construct (:507-581), gt_split
+(:1616-1643) and find_node_up_down_seq (:1266-1549).  The graph is a
+node-per-variant model: nodes ordered by start position per chromosome,
+"edges" are implicit adjacency; reference filler nodes carry the sequence
+between variants.
+
+This layer is deliberately host Python: it is pointer-chasing text work.  The
+compute-heavy per-node k-mer indexing lives in index/build.py and runs on
+device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..utils.log import log
+
+
+@dataclass
+class Node:
+    """One graph node (reference nodeSrt, include/construct_index.hpp:105-121).
+
+    seqs[0] is the REF allele (or the filler sequence); hap_gt[h] is the
+    allele index haplotype h carries (0 = REF).  Filler nodes have
+    hap_gt == [0].
+    """
+    start: int  # 1-based
+    seqs: list[str] = field(default_factory=list)
+    hap_gt: list[int] = field(default_factory=list)
+    # filled by the indexing phase:
+    kmer_hashes: list[int] = field(default_factory=list)  # encoded k-mers
+    local_bits: list[int] = field(default_factory=list)   # per-kmer hap bitmask
+
+    @property
+    def is_variant(self) -> bool:
+        return len(self.hap_gt) > 1
+
+    @property
+    def end(self) -> int:
+        return self.start + len(self.seqs[0]) - 1
+
+
+class GenomeGraph:
+    """Per-chromosome ordered node collections."""
+
+    def __init__(self):
+        self._maps: dict[str, dict[int, Node]] = {}
+        self.starts: dict[str, list[int]] = {}
+        self.nodes: dict[str, list[Node]] = {}
+
+    def get_or_create(self, chrom: str, start: int) -> Node:
+        chrom_map = self._maps.setdefault(chrom, {})
+        node = chrom_map.get(start)
+        if node is None:
+            node = Node(start=start)
+            chrom_map[start] = node
+        return node
+
+    def finalize(self) -> None:
+        """Sort nodes by start per chromosome (std::map iteration order)."""
+        self.starts = {}
+        self.nodes = {}
+        for chrom, cmap in self._maps.items():
+            items = sorted(cmap.items())
+            self.starts[chrom] = [s for s, _ in items]
+            self.nodes[chrom] = [n for _, n in items]
+
+    @property
+    def chroms(self) -> list[str]:
+        return sorted(self.nodes.keys())
+
+
+def gt_split(gt_txt: str) -> list[str]:
+    """Split a GT field (reference construct_index.cpp:1616-1643)."""
+    if gt_txt == ".":
+        return []
+    if "/" in gt_txt:
+        return gt_txt.split("/")
+    if "|" in gt_txt:
+        return gt_txt.split("|")
+    try:
+        int(gt_txt)
+    except ValueError:
+        raise ValueError(f"GT is not separated by '/' or '|' -> {gt_txt}")
+    log(f"Warning: sample has only one genotype, attempting to correct to diploid -> {gt_txt}")
+    return [gt_txt]
+
+
+@dataclass
+class VariantStats:
+    snp: int = 0
+    indel: int = 0
+    ins: int = 0
+    dele: int = 0
+    inv: int = 0
+    dup: int = 0
+    other: int = 0
+
+    def total(self) -> int:
+        return self.snp + self.indel + self.ins + self.dele + self.inv + self.dup + self.other
+
+
+def classify_variant(ref_len: int, qry_len: int, stats: VariantStats) -> None:
+    """Length-heuristic variant classification (construct_index.cpp:519-537)."""
+    sv_len = qry_len - ref_len
+    length_ratio = qry_len / float(ref_len) if ref_len else float("inf")
+    if sv_len == 0 and ref_len == 1 and qry_len == 1:
+        stats.snp += 1
+    elif -49 <= sv_len <= 49 and ref_len <= 49 and qry_len <= 49:
+        stats.indel += 1
+    elif -2 <= sv_len <= 2 and ref_len > 49 and qry_len > 49:
+        stats.inv += 1
+    elif 1.8 <= length_ratio <= 2.2 and ref_len > 49 and qry_len > 49:
+        stats.dup += 1
+    elif sv_len < 0:
+        stats.dele += 1
+    elif sv_len > 0:
+        stats.ins += 1
+    else:
+        stats.other += 1
+
+
+FORMAT_HEADER_LINES = (
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n'
+    '##FORMAT=<ID=GQ,Number=1,Type=Float,Description="Genotype quality '
+    '(phred-scaled 1 - max(GPP))">\n'
+    '##FORMAT=<ID=GPP,Number=1,Type=String,Description="Genotype posterior probabilities">\n'
+    '##FORMAT=<ID=NAK,Number=.,Type=Float,Description="Number of allele k-mers">\n'
+    '##FORMAT=<ID=CAK,Number=.,Type=Float,Description="Coverage of allele k-mers">\n'
+    '##FORMAT=<ID=UK,Number=1,Type=Integer,Description="Total number of unique kmers, '
+    'capped at 255">\n'
+)
+
+
+def build_graph_from_vcf(
+    vcf_lines,
+    fasta_map: dict[str, str],
+    vcf_ploidy: int,
+):
+    """Stream VCF lines into the graph + VCF mirror.
+
+    Port of ConstructIndex::construct (src/construct_index.cpp:188-473).
+
+    Args:
+      vcf_lines: iterable of text lines (already decompressed).
+      fasta_map: chromosome -> sequence.
+      vcf_ploidy: --vcf-ploidy.
+
+    Returns (graph, vcf_head, vcf_info, hap_map, stats, graph_base_num_extra)
+      vcf_info: chrom -> {start: [columns...]}
+      hap_map: list of haplotype names, index 0 = "reference"
+    """
+    graph = GenomeGraph()
+    vcf_head_parts: list[str] = []
+    vcf_info: dict[str, dict[int, list[str]]] = {}
+    hap_map: list[str] = ["reference"]
+    stats = VariantStats()
+    graph_base_extra = 0  # ALT bases added beyond the reference genome
+
+    tmp_ref_start = 0
+    tmp_ref_end = 0
+    tmp_chromosome = ""
+
+    for line in vcf_lines:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        if "##FORMAT" in line:
+            continue
+        if "#" in line and "#CHROM" not in line:
+            vcf_head_parts.append(line + "\n")
+            continue
+
+        line_vec = line.split()
+        if len(line_vec) < 10:
+            raise ValueError(
+                f"Number of columns in the VCF file is less than 10. "
+                f"Current column count: {len(line_vec)}"
+            )
+
+        if "#CHROM" in line:
+            vcf_head_parts.append(FORMAT_HEADER_LINES)
+            vcf_head_parts.append("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT")
+            for i in range(9, len(line_vec)):
+                for _ in range(vcf_ploidy):
+                    hap_map.append(line_vec[i])
+                    if len(hap_map) > 0xFFFF:
+                        raise ValueError(
+                            "The number of haplotypes exceeds the maximum limit of 65535."
+                        )
+            continue
+
+        chromosome = line_vec[0]
+        ref_start = int(line_vec[1])
+        ref_seq = line_vec[3]
+        ref_len = len(ref_seq)
+        ref_end = ref_start + ref_len - 1
+        qry_seq_vec = line_vec[4].split(",")
+
+        format_vec = line_vec[8].rstrip("\n").split(":")
+        try:
+            gt_index = format_vec.index("GT")
+        except ValueError:
+            raise ValueError(f"Genotype (GT) information is missing in FORMAT: {line}")
+
+        # --- VCF mirror + stats (vcf_construct, runs BEFORE the skip checks,
+        # matching construct_index.cpp:281 before :298) ---
+        info_list = vcf_info.setdefault(chromosome, {}).setdefault(ref_start, [])
+        for qry in qry_seq_vec:
+            classify_variant(ref_len, len(qry), stats)
+        for i, field_txt in enumerate(line_vec):
+            if i < 9:
+                info_list.append(field_txt)
+                continue
+            gt_vec = gt_split(field_txt.split(":")[gt_index])
+            if not gt_vec:
+                gt_txt = "|".join(["0"] * vcf_ploidy)
+            elif len(gt_vec) >= vcf_ploidy:
+                gt_txt = "|".join(gt_vec[:vcf_ploidy])
+            else:
+                gt_txt = "|".join(gt_vec) + "|0" * (vcf_ploidy - len(gt_vec))
+            info_list.append(gt_txt)
+
+        # --- graph construction ---
+        if chromosome not in fasta_map:
+            raise ValueError(f"Chromosome '{chromosome}' not found in reference genome.")
+        fasta_seq = fasta_map[chromosome]
+
+        if chromosome != tmp_chromosome:
+            tmp_ref_start = 0
+        if tmp_ref_start == ref_start:
+            log(f"Warning: Multiple variants detected, skipping this site -> "
+                f"{chromosome} {ref_start}")
+            continue
+        elif tmp_ref_start > ref_start:
+            log(f"Warning: Variants are unsorted, skipping this site -> "
+                f"{chromosome} {tmp_ref_start}>{ref_start}")
+            continue
+
+        true_ref_seq = fasta_seq[ref_start - 1 : ref_start - 1 + ref_len]
+        if true_ref_seq != ref_seq:
+            log("Warning: Sequence discrepancy detected between reference genome and "
+                f"VCF. Replacing with sequence from reference genome -> "
+                f"{chromosome}\t{ref_start}")
+            ref_seq = true_ref_seq
+
+        if chromosome != tmp_chromosome:
+            # tail filler of the previous chromosome
+            if tmp_ref_end > 0 and tmp_ref_end < len(fasta_map[tmp_chromosome]):
+                pre_start = tmp_ref_end + 1
+                pre_end = len(fasta_map[tmp_chromosome])
+                node = graph.get_or_create(tmp_chromosome, pre_start)
+                node.seqs.append(fasta_map[tmp_chromosome][pre_start - 1 : pre_end])
+                node.hap_gt.append(0)
+            # head filler of the new chromosome
+            if ref_start > 1:
+                node = graph.get_or_create(chromosome, 1)
+                node.seqs.append(fasta_seq[0 : ref_start - 1])
+                node.hap_gt.append(0)
+        else:
+            pre_start = tmp_ref_end + 1
+            pre_end = ref_start - 1
+            if pre_start <= pre_end:
+                node = graph.get_or_create(chromosome, pre_start)
+                node.seqs.append(fasta_seq[pre_start - 1 : pre_end])
+                node.hap_gt.append(0)
+
+        # the variant node itself
+        node = graph.get_or_create(chromosome, ref_start)
+        node.seqs.append(ref_seq)
+        node.hap_gt.append(0)
+        node.seqs.extend(qry_seq_vec)
+        graph_base_extra += sum(len(q) for q in qry_seq_vec)
+        if len(node.seqs) > 0xFFFF:
+            raise ValueError("The number of haplotypes exceeds the maximum limit of 65535.")
+
+        for i in range(9, len(line_vec)):
+            gt_vec = gt_split(line_vec[i].split(":")[gt_index])
+            if len(gt_vec) > vcf_ploidy:
+                log(f"Warning: The number of haplotypes at {chromosome}({ref_start}) "
+                    "exceeds the specified parameter. Excess haplotypes have been discarded.")
+                gt_vec = gt_vec[:vcf_ploidy]
+            elif len(gt_vec) < vcf_ploidy:
+                log(f"Warning: The number of haplotypes at {chromosome}({ref_start}) "
+                    "is less than the specified parameter. Filling the deficit with zeros.")
+                gt_vec = gt_vec + ["0"] * (vcf_ploidy - len(gt_vec))
+            for g in gt_vec:
+                node.hap_gt.append(0 if g == "." else int(g))
+
+        tmp_ref_start = ref_start
+        tmp_ref_end = ref_end
+        tmp_chromosome = chromosome
+
+    # tail filler of the last chromosome
+    if tmp_chromosome and tmp_ref_end < len(fasta_map[tmp_chromosome]):
+        pre_start = tmp_ref_end + 1
+        node = graph.get_or_create(tmp_chromosome, pre_start)
+        node.seqs.append(fasta_map[tmp_chromosome][pre_start - 1 :])
+        node.hap_gt.append(0)
+
+    graph.finalize()
+
+    log(f"Parsed {stats.total()} alternative alleles ...")
+    log(f"SNP: {stats.snp}  InDels: {stats.indel}  Insertion: {stats.ins}  "
+        f"Deletion: {stats.dele}  Inversion: {stats.inv}  Duplication: {stats.dup}  "
+        f"Other: {stats.other}")
+
+    return graph, "".join(vcf_head_parts), vcf_info, hap_map, stats, graph_base_extra
+
+
+def find_node_up_down_seq(
+    haplotype: int,
+    alt_gt: int,
+    alt_seq: str,
+    seq_len: int,
+    node_idx: int,
+    starts: list[int],
+    nodes: list[Node],
+) -> tuple[str, str, str]:
+    """Walk neighbor nodes to collect the haplotype's sequence up to seq_len
+    bases up- and downstream of a node.
+
+    Behavioral port of reference construct_index.cpp:1266-1549, including the
+    nested/overlapping-node truncation and retro-replacement rules (the
+    comment diagrams at :1314-1322 and :1406-1428 are the spec).  Unlike the
+    C++ (which mutates altSeq in place), the possibly-modified alt sequence is
+    returned as the third element.
+
+    Returns (up_seq, down_seq, alt_seq).
+    """
+    node = nodes[node_idx]
+    alt_start = node.start
+    alt_end = alt_start + len(node.seqs[0]) - 1
+    alt_len = len(alt_seq)
+
+    # ---------------------------------------------------------------- upstream
+    up_seq = ""
+    pre_qry_len_vec = [alt_len]
+    pre_gt_vec = [alt_gt]
+    pre_node_start_vec = [alt_start]
+    pre_node_end_vec = [alt_end]
+
+    idx = node_idx
+    while len(up_seq) < seq_len and idx != 0:
+        idx -= 1
+        node_start_tmp = starts[idx]
+        node_tmp = nodes[idx]
+        node_end_tmp = node_start_tmp + len(node_tmp.seqs[0]) - 1
+        gt_tmp = node_tmp.hap_gt[haplotype] if haplotype < len(node_tmp.hap_gt) else 0
+        if gt_tmp >= len(node_tmp.seqs):
+            raise ValueError(
+                f"The node '{alt_start}' lacks sequence information for haplotype {gt_tmp}."
+            )
+        seq_tmp = node_tmp.seqs[gt_tmp]
+
+        # overlapping/nested truncation (diagrams at construct_index.cpp:1314-1322)
+        while pre_node_start_vec and node_end_tmp >= pre_node_start_vec[-1] and seq_tmp:
+            if gt_tmp == 0:
+                seq_tmp = seq_tmp[: pre_node_start_vec[-1] - node_start_tmp]
+                break
+            elif pre_gt_vec[-1] == 0 and up_seq:
+                pre_qry_len_tmp = min(
+                    node_end_tmp - pre_node_start_vec[-1] + 1, pre_qry_len_vec[-1]
+                )
+                up_seq = up_seq[pre_qry_len_tmp:]
+                pre_qry_len_vec.pop()
+                pre_gt_vec.pop()
+                pre_node_start_vec.pop()
+                pre_node_end_vec.pop()
+                continue
+            break
+
+        if not seq_tmp:
+            continue
+
+        pre_node_start_vec.append(node_start_tmp)
+        pre_node_end_vec.append(node_end_tmp)
+
+        remaining = seq_len - len(up_seq)
+        if len(seq_tmp) >= remaining:
+            up_seq = seq_tmp[len(seq_tmp) - remaining :] + up_seq
+            pre_qry_len_vec.append(remaining)
+        else:
+            up_seq = seq_tmp + up_seq
+            pre_qry_len_vec.append(len(seq_tmp))
+        pre_gt_vec.append(gt_tmp)
+
+    # -------------------------------------------------------------- downstream
+    down_seq = ""
+    pre_qry_len_vec = [alt_len]
+    pre_gt_vec = [alt_gt]
+    pre_node_start_vec = [alt_start]
+    pre_node_end_vec = [alt_end]
+    pre_gt = alt_gt  # the down loop consults the running scalar (:1455,1493)
+
+    idx = node_idx
+    while len(down_seq) < seq_len and idx + 1 < len(nodes):
+        idx += 1
+        node_start_tmp = starts[idx]
+        node_tmp = nodes[idx]
+        node_len_tmp = len(node_tmp.seqs[0])
+        node_end_tmp = node_start_tmp + node_len_tmp - 1
+        gt_tmp = node_tmp.hap_gt[haplotype] if haplotype < len(node_tmp.hap_gt) else 0
+        if gt_tmp >= len(node_tmp.seqs):
+            raise ValueError(
+                f"The node '{alt_start}' lacks sequence information for haplotype {gt_tmp}."
+            )
+        seq_tmp = node_tmp.seqs[gt_tmp]
+
+        # SNP-inside-deletion retro-replacement (diagrams at :1406-1428)
+        if (
+            alt_gt == 0
+            and gt_tmp != 0
+            and node_end_tmp <= alt_end
+            and len(seq_tmp) == 1
+            and node_len_tmp == 1
+        ):
+            off = node_start_tmp - alt_start
+            alt_seq = alt_seq[:off] + seq_tmp + alt_seq[off + node_len_tmp :]
+
+        if node_end_tmp <= alt_end:
+            continue
+
+        while pre_node_end_vec and node_end_tmp <= pre_node_end_vec[-1] and seq_tmp:
+            if gt_tmp == 0:
+                seq_tmp = ""
+                break
+            elif pre_gt == 0 and down_seq:
+                pre_qry_len_tmp = min(
+                    pre_node_end_vec[-1] - node_start_tmp + 1, pre_qry_len_vec[-1]
+                )
+                down_seq = down_seq[: len(down_seq) - pre_qry_len_tmp]
+                pre_qry_len_vec.pop()
+                pre_gt_vec.pop()
+                pre_node_start_vec.pop()
+                pre_node_end_vec.pop()
+                continue
+            break
+
+        while pre_node_end_vec and node_start_tmp <= pre_node_end_vec[-1] and seq_tmp:
+            if gt_tmp == 0:
+                cut = pre_node_end_vec[-1] - node_start_tmp + 1
+                seq_tmp = seq_tmp[cut : cut + (node_end_tmp - pre_node_end_vec[-1])]
+                break
+            elif pre_gt == 0 and down_seq:
+                pre_qry_len_tmp = min(
+                    pre_node_end_vec[-1] - node_start_tmp + 1, pre_qry_len_vec[-1]
+                )
+                down_seq = down_seq[: len(down_seq) - pre_qry_len_tmp]
+                pre_qry_len_vec.pop()
+                pre_gt_vec.pop()
+                pre_node_start_vec.pop()
+                pre_node_end_vec.pop()
+                continue
+            break
+
+        if not seq_tmp:
+            continue
+
+        pre_node_start_vec.append(node_start_tmp)
+        pre_node_end_vec.append(node_end_tmp)
+
+        remaining = seq_len - len(down_seq)
+        if len(seq_tmp) >= remaining:
+            down_seq = down_seq + seq_tmp[:remaining]
+            pre_qry_len_vec.append(remaining)
+        else:
+            down_seq = down_seq + seq_tmp
+            pre_qry_len_vec.append(len(seq_tmp))
+        pre_gt = gt_tmp
+        pre_gt_vec.append(pre_gt)
+
+    return up_seq, down_seq, alt_seq

@@ -1,0 +1,200 @@
+"""Graph index persistence.
+
+A new format (single .vgt file = compressed npz bundle) replacing the
+reference's hand-rolled little-endian graph.bin
+(src/construct_index.cpp:760-1105).  Carries the same information: header
+(graph base count, k, vcf ploidy), VCF head + per-site column mirror with
+chromosome lengths, haplotype registry, all graph nodes (allele sequences,
+per-haplotype GTs, per-node k-mer hashes), and the global k-mer table --
+plus the per-node local haplotype bitmasks that the TPU genotype engine uses
+instead of re-sketching contexts.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zlib
+
+import numpy as np
+
+from ..ops.table import KmerTable, pack_hapbits, unpack_hapbits
+from ..utils.log import log
+from .graph import GenomeGraph, Node, VariantStats
+from .structs import GraphIndex
+
+_MAGIC = "varigraph-tpu-graph"
+_VERSION = 1
+
+
+def _bits_to_bytes(bits: list[int], nbytes: int) -> np.ndarray:
+    out = np.zeros((len(bits), nbytes), np.uint8)
+    for i, b in enumerate(bits):
+        if b:
+            out[i] = np.frombuffer(b.to_bytes(nbytes, "little"), np.uint8)
+    return out
+
+
+def _bytes_to_bits(rows: np.ndarray) -> list[int]:
+    return [int.from_bytes(r.tobytes(), "little") for r in rows]
+
+
+def save_graph(gi: GraphIndex, path: str) -> None:
+    log(f"Genome Graph index saved to file: {path}")
+    chroms = sorted(gi.graph.nodes.keys())
+    chrom_of = {c: i for i, c in enumerate(chroms)}
+
+    node_chrom: list[int] = []
+    node_start: list[int] = []
+    node_nseq: list[int] = []
+    node_ngt: list[int] = []
+    node_nkmer: list[int] = []
+    seq_lens: list[int] = []
+    seq_parts: list[bytes] = []
+    gt_flat: list[int] = []
+    kmer_flat: list[int] = []
+    local_bits_rows: list[list[int]] = []
+
+    for c in chroms:
+        for n in gi.graph.nodes[c]:
+            node_chrom.append(chrom_of[c])
+            node_start.append(n.start)
+            node_nseq.append(len(n.seqs))
+            node_ngt.append(len(n.hap_gt))
+            node_nkmer.append(len(n.kmer_hashes))
+            for s in n.seqs:
+                seq_lens.append(len(s))
+                seq_parts.append(s.encode("ascii"))
+            gt_flat.extend(n.hap_gt)
+            kmer_flat.extend(n.kmer_hashes)
+            local_bits_rows.append(n.local_bits)
+
+    nbytes = (gi.nhap + 7) // 8
+    local_bits_all = [b for row in local_bits_rows for b in row]
+    local_bits_arr = _bits_to_bytes(local_bits_all, nbytes)
+
+    # VCF info mirror as a compressed text blob
+    vcf_lines = []
+    for c, smap in gi.vcf_info.items():
+        for start, cols in smap.items():
+            vcf_lines.append("\t".join([c, str(start)] + cols))
+    vcf_info_blob = zlib.compress("\n".join(vcf_lines).encode("utf-8"), 6)
+
+    meta = {
+        "magic": _MAGIC,
+        "version": _VERSION,
+        "kmer_len": gi.kmer_len,
+        "vcf_ploidy": gi.vcf_ploidy,
+        "graph_base_num": gi.graph_base_num,
+        "genome_size": gi.genome_size,
+        "hap_names": gi.hap_names,
+        "chroms": chroms,
+        "chrom_lens": [gi.chrom_lens.get(c, 0) for c in chroms],
+        "stats": vars(gi.stats),
+    }
+
+    fh = open(path, "wb")  # pass a handle so numpy keeps the exact filename
+    np.savez_compressed(
+        fh,
+        meta=np.frombuffer(json.dumps(meta).encode("utf-8"), np.uint8),
+        vcf_head=np.frombuffer(gi.vcf_head.encode("utf-8"), np.uint8),
+        vcf_info=np.frombuffer(vcf_info_blob, np.uint8),
+        node_chrom=np.array(node_chrom, np.int32),
+        node_start=np.array(node_start, np.int64),
+        node_nseq=np.array(node_nseq, np.int32),
+        node_ngt=np.array(node_ngt, np.int32),
+        node_nkmer=np.array(node_nkmer, np.int64),
+        seq_lens=np.array(seq_lens, np.int64),
+        seq_blob=np.frombuffer(b"".join(seq_parts), np.uint8),
+        gt_flat=np.array(gt_flat, np.uint16),
+        kmer_flat=np.array(kmer_flat, np.uint64),
+        local_bits=local_bits_arr,
+        tbl_keys=gi.table.keys_np(),
+        tbl_freq=gi.table.freq_np(),
+        tbl_bits=np.asarray(gi.table.hapbits),
+        tbl_refflag=gi.table.refflag_np(),
+    )
+    fh.close()
+
+
+def load_graph(path: str) -> GraphIndex:
+    log(f"Genome Graph index loaded from file: {path}")
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(bytes(z["meta"]).decode("utf-8"))
+    if meta.get("magic") != _MAGIC:
+        raise ValueError(f"'{path}' is not a varigraph-tpu graph file")
+
+    chroms: list[str] = meta["chroms"]
+    hap_names: list[str] = meta["hap_names"]
+    nhap = len(hap_names)
+    nbytes = (nhap + 7) // 8
+
+    vcf_head = bytes(z["vcf_head"]).decode("utf-8")
+    vcf_info: dict[str, dict[int, list[str]]] = {}
+    blob = zlib.decompress(bytes(z["vcf_info"])).decode("utf-8")
+    if blob:
+        for line in blob.split("\n"):
+            parts = line.split("\t")
+            c, start = parts[0], int(parts[1])
+            vcf_info.setdefault(c, {})[start] = parts[2:]
+
+    graph = GenomeGraph()
+    node_chrom = z["node_chrom"]
+    node_start = z["node_start"]
+    node_nseq = z["node_nseq"]
+    node_ngt = z["node_ngt"]
+    node_nkmer = z["node_nkmer"]
+    seq_lens = z["seq_lens"]
+    seq_blob = bytes(z["seq_blob"])
+    gt_flat = z["gt_flat"]
+    kmer_flat = z["kmer_flat"]
+    local_bits_arr = z["local_bits"]
+
+    seq_off = np.concatenate([[0], np.cumsum(seq_lens)])
+    gt_off = np.concatenate([[0], np.cumsum(node_ngt)])
+    km_off = np.concatenate([[0], np.cumsum(node_nkmer)])
+    si = 0
+    for i in range(len(node_chrom)):
+        chrom = chroms[node_chrom[i]]
+        node = graph.get_or_create(chrom, int(node_start[i]))
+        for _ in range(int(node_nseq[i])):
+            node.seqs.append(
+                seq_blob[seq_off[si] : seq_off[si + 1]].decode("ascii")
+            )
+            si += 1
+        node.hap_gt = gt_flat[gt_off[i] : gt_off[i + 1]].astype(int).tolist()
+        node.kmer_hashes = kmer_flat[km_off[i] : km_off[i + 1]].tolist()
+        node.local_bits = _bytes_to_bits(
+            local_bits_arr[km_off[i] : km_off[i + 1]]
+        )
+    graph.finalize()
+
+    import jax.numpy as jnp
+
+    table = KmerTable(
+        keys=jnp.asarray(z["tbl_keys"]),
+        cov=jnp.zeros((len(z["tbl_keys"]),), jnp.uint32),
+        freq=jnp.asarray(z["tbl_freq"]),
+        hapbits=jnp.asarray(z["tbl_bits"]),
+        refflag=jnp.asarray(z["tbl_refflag"]),
+        nhap=nhap,
+    )
+
+    stats = VariantStats(**meta["stats"])
+    gi = GraphIndex(
+        kmer_len=int(meta["kmer_len"]),
+        vcf_ploidy=int(meta["vcf_ploidy"]),
+        graph_base_num=int(meta["graph_base_num"]),
+        genome_size=int(meta["genome_size"]),
+        hap_names=hap_names,
+        chrom_lens=dict(zip(chroms, meta["chrom_lens"])),
+        vcf_head=vcf_head,
+        vcf_info=vcf_info,
+        graph=graph,
+        table=table,
+        stats=stats,
+    )
+    log(f"Total number of bases in the Genome Graph: {gi.graph_base_num}")
+    log(f"Total number of k-mers present in the Genome Graph: {table.size}")
+    log(f"Total number of haplotypes present in the Genome Graph: {nhap}")
+    return gi

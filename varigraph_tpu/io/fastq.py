@@ -1,0 +1,91 @@
+"""FASTQ/FASTA read streaming into fixed-shape device batches.
+
+Host-side replacement for the reference's kseq streaming + thread-pool
+batching (src/fastq_kmer.cpp:65-187).  Reads are packed into [B, L] uint8
+base-code matrices (padding code 4 never emits k-mers), the shape the device
+sketch kernel consumes.  Reads longer than max_len are split into overlapping
+segments (overlap k-1) so no k-mer is lost.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Iterator
+
+import numpy as np
+
+from ..ops.sketch_ref import SEQ_NT4_TABLE
+
+
+def _open_bin(path: str):
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def stream_records(path: str) -> Iterator[bytes]:
+    """Yield raw read sequences (bytes) from a FASTQ or FASTA file."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"'{path}': No such file or directory.")
+    with _open_bin(path) as fh:
+        first = fh.peek(1)[:1] if hasattr(fh, "peek") else b""
+        if first == b">":  # FASTA
+            seq_parts: list[bytes] = []
+            for line in fh:
+                line = line.rstrip(b"\n")
+                if line.startswith(b">"):
+                    if seq_parts:
+                        yield b"".join(seq_parts)
+                        seq_parts = []
+                else:
+                    seq_parts.append(line)
+            if seq_parts:
+                yield b"".join(seq_parts)
+        else:  # FASTQ
+            while True:
+                header = fh.readline()
+                if not header:
+                    break
+                seq = fh.readline().rstrip(b"\n")
+                fh.readline()  # '+'
+                fh.readline()  # quals
+                yield seq
+
+
+def stream_read_batches(
+    path: str,
+    batch_size: int,
+    max_len: int,
+    k: int,
+) -> Iterator[tuple[np.ndarray, int]]:
+    """Yield ([B, max_len] uint8 code batches, base_count_in_batch).
+
+    The final batch is zero-padded (code 4) to the full batch shape so the
+    device kernel compiles once.
+    """
+    buf = np.full((batch_size, max_len), 4, dtype=np.uint8)
+    row = 0
+    bases = 0
+    for seq in stream_records(path):
+        bases += len(seq)
+        codes = SEQ_NT4_TABLE[np.frombuffer(seq, dtype=np.uint8)]
+        # split long reads into overlapping segments so no window is lost
+        start = 0
+        n = len(codes)
+        while True:
+            seg = codes[start : start + max_len]
+            buf[row, : len(seg)] = seg
+            row += 1
+            if row == batch_size:
+                yield buf, bases
+                buf = np.full((batch_size, max_len), 4, dtype=np.uint8)
+                row = 0
+                bases = 0
+            if start + max_len >= n:
+                break
+            start += max_len - (k - 1)
+    if row > 0:
+        yield buf, bases

@@ -87,18 +87,37 @@ class CountingBloomFilter:
         self.filter = jnp.zeros((self.size,), jnp.uint8)
 
     # ------------------------------------------------------------------ ops
-    def add(self, hashes, mask=None) -> None:
-        hashes = jnp.asarray(hashes, dtype=jnp.uint64)
+    @staticmethod
+    def _pad_pow2(hashes: np.ndarray, mask):
+        """Pad query arrays to power-of-two lengths to bound recompiles."""
+        hashes = np.asarray(hashes, dtype=np.uint64).reshape(-1)
+        n = len(hashes)
+        p = 1
+        while p < n:
+            p *= 2
         if mask is None:
-            mask = jnp.ones(hashes.shape, jnp.bool_)
+            mask = np.ones(n, bool)
         else:
-            mask = jnp.asarray(mask, dtype=jnp.bool_)
-        self.filter = _add(self.filter, hashes, mask,
-                           jnp.asarray(self.seeds), self.size)
+            mask = np.asarray(mask, bool).reshape(-1)
+        if p != n:
+            hashes = np.concatenate([hashes, np.zeros(p - n, np.uint64)])
+            mask = np.concatenate([mask, np.zeros(p - n, bool)])
+        return hashes, mask, n
+
+    def add(self, hashes, mask=None) -> None:
+        if hasattr(hashes, "device"):  # already device array: use as is
+            h = jnp.asarray(hashes, dtype=jnp.uint64).reshape(-1)
+            m = (jnp.ones(h.shape, jnp.bool_) if mask is None
+                 else jnp.asarray(mask, jnp.bool_).reshape(-1))
+        else:
+            hp, mp, _ = self._pad_pow2(hashes, mask)
+            h, m = jnp.asarray(hp), jnp.asarray(mp)
+        self.filter = _add(self.filter, h, m, jnp.asarray(self.seeds), self.size)
 
     def count(self, hashes) -> np.ndarray:
-        hashes = jnp.asarray(hashes, dtype=jnp.uint64)
-        return np.asarray(_count(self.filter, hashes, jnp.asarray(self.seeds), self.size))
+        hp, _, n = self._pad_pow2(hashes, None)
+        out = _count(self.filter, jnp.asarray(hp), jnp.asarray(self.seeds), self.size)
+        return np.asarray(out)[:n]
 
     def find(self, hashes) -> np.ndarray:
         return self.count(hashes) > 0
