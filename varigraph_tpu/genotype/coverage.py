@@ -1,0 +1,102 @@
+"""Sample coverage model: homozygous-k-mer histogram and peak finding.
+
+Port of reference Varigraph::cal_ave_cov_kmer / get_hom_kmer / get_hom_kmer_c
+/ cal_hap_kmer_cov / kmer_histogram (src/varigraph.cpp:220-401).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.log import log
+
+
+def hom_kmer_histogram(
+    cov_u8: np.ndarray,      # [M] saturated coverage
+    freq: np.ndarray,        # [M] graph frequency
+    bit_rows: np.ndarray,    # [M, H] 0/1 haplotype bits
+    vcf_ploidy: int,
+) -> np.ndarray:
+    """256-bin histogram of coverages of k-mers with c>0, f==1 carried by at
+    least one fully homozygous sample (varigraph.cpp:253-296)."""
+    m, nhap = bit_rows.shape
+    mask = (cov_u8 > 0) & (freq == 1)
+    nsample = (nhap - 1) // vcf_ploidy
+    if nsample == 0:
+        return np.zeros(256, dtype=np.uint64)
+    groups = bit_rows[:, 1 : 1 + nsample * vcf_ploidy].reshape(m, nsample, vcf_ploidy)
+    hom_any = groups.all(axis=2).any(axis=1)
+    sel = mask & hom_any
+    return np.bincount(cov_u8[sel], minlength=256).astype(np.uint64)
+
+
+def find_hom_coverage(hist: np.ndarray, read_depth: float) -> tuple[int, int]:
+    """Peak finder (varigraph.cpp:308-348) over present coverage bins.
+
+    Returns (maxCoverage, homCoverage).  Raises if no valid peak.
+    """
+    coverages = [c for c in range(256) if hist[c] > 0]
+    freqs = [int(hist[c]) for c in coverages]
+
+    max_index = -1
+    max_coverage = 0
+    max_frequency = 0
+    hom_coverage = 0
+    for i, (c, f) in enumerate(zip(coverages, freqs)):
+        if c > 1 and f >= max_frequency and c < 255:
+            max_index = i
+            max_coverage = c
+            max_frequency = f
+            hom_coverage = c
+
+    if max_index == -1:
+        raise ValueError(
+            "Failed to retrieve depth information of k-mers from the sequencing "
+            "data. Please verify your data."
+        )
+
+    # look for a smaller peak on the right, bounded by the sequencing depth
+    for i in range(max_index + 1, len(freqs) - 1):
+        if coverages[i] > read_depth:
+            break
+        if freqs[i] >= freqs[i - 1] and freqs[i] >= freqs[i + 1]:
+            hom_coverage = coverages[i]
+    return max_coverage, hom_coverage
+
+
+def estimate_hap_coverage(
+    cov_u8: np.ndarray,
+    freq: np.ndarray,
+    bit_rows: np.ndarray,
+    vcf_ploidy: int,
+    sample_ploidy: int,
+    read_depth: float,
+    use_depth: bool,
+) -> float:
+    """Full coverage-model estimation (varigraph.cpp:220-243,360-362).
+
+    Returns hapKmerCoverage."""
+    hist = hom_kmer_histogram(cov_u8, freq, bit_rows, vcf_ploidy)
+    max_coverage, hom_coverage = find_hom_coverage(hist, read_depth)
+
+    if use_depth:
+        hom_coverage = int(read_depth * 0.8)  # uint8 truncation in reference
+
+    if hom_coverage > 0 and sample_ploidy > 0:
+        hap_cov = float(hom_coverage) / float(sample_ploidy)
+    else:
+        hap_cov = read_depth / float(sample_ploidy)
+
+    # histogram log (reference kmer_histogram, varigraph.cpp:376-401)
+    max_freq = int(hist[max_coverage])
+    log(f"highest: count[{max_coverage}] = {max_freq}")
+    for c in range(256):
+        if hist[c] == 0:
+            continue
+        stars = int(round(float(hist[c]) / max_freq * 100))
+        if stars == 0:
+            continue
+        bar = "*" * min(stars, 100) + (">" if stars > 100 else "")
+        log(f"{c:3d}: {bar} {int(hist[c])}")
+    log(f"peak_hom: {hom_coverage}; peak_hap: {hap_cov}")
+    return hap_cov

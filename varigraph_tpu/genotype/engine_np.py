@@ -1,0 +1,504 @@
+"""Host (numpy, extended-precision) genotyping engine -- the behavioral
+oracle.
+
+Faithful port of the reference genotyping math (src/genotype.cpp):
+  hidden_states        :618-821   (incl. ref-flag CI rule + verification)
+  increment_vector     :835-919   (combos.py)
+  observable_states    :979-1017  (Poisson / Bayes-geometric emissions)
+  transition_probabilities :954-964
+  forward / backward   :1175-1357
+  posterior            :1371-1546
+  windowing            :80-142
+
+Two deliberate architectural differences, both documented:
+  * the "does this haplotype's context contain this k-mer at this node"
+    verification (genotype.cpp:725-812 re-sketches contexts lazily) is a
+    lookup into per-node local bitmasks precomputed at construct time --
+    identical answers, no re-sketching.
+  * all randomness (Dirichlet draws) is seeded per (sample, chrom, window).
+
+The JAX device engine (engine_jax.py) is validated against this oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..index.structs import GraphIndex
+from ..utils.log import log
+from .combos import increment_vector
+from .hapselect import dirichlet_top_haps, window_hap_counts
+
+LD = np.longdouble
+
+
+@dataclass
+class PosteriorRecord:
+    probability: float = 0.0
+    hap_vec: list[int] = field(default_factory=list)
+    kmer_num_vec: list[int] = field(default_factory=list)
+    kmer_avecov_vec: list[float] = field(default_factory=list)
+    uk: int = 0
+
+
+def make_windows(starts: list[int], chrom_len: int, granularity: int):
+    """Window scheduling (genotype.cpp:99-141): position-stepped windows
+    expressed as [node_lo, node_hi) index ranges over ALL nodes."""
+    if not starts:
+        return []
+    chr_len_thread = min(granularity, chrom_len)
+    steps = math.ceil(chrom_len / chr_len_thread)
+    out = []
+    thread_end = 0
+    n = len(starts)
+    for i in range(steps):
+        step_end = (i + 1) * chr_len_thread
+        thread_start = thread_end
+        if thread_start >= n:
+            break
+        j = thread_start
+        while j < n and starts[j] <= step_end:
+            j += 1
+        thread_end = j
+        out.append((thread_start, thread_end))
+    return out
+
+
+def graph2node(gi: GraphIndex, max_kmers: int = 128) -> None:
+    """Resolve per-node k-mer hashes into table indices, keeping at most
+    `max_kmers` per node preferring lowest graph frequency
+    (reference graph2node_run, construct_index.cpp:1572-1603; stable sort
+    where the reference's tie order is unspecified)."""
+    keys = gi.table.keys_np()
+    freq = gi.table.freq_np()
+    for chrom in gi.graph.nodes:
+        for node in gi.graph.nodes[chrom]:
+            if not node.is_variant:
+                continue
+            if not node.kmer_hashes:
+                node.table_idx = np.empty(0, np.int64)
+                node.local_bits_capped = []
+                continue
+            h = np.asarray(node.kmer_hashes, dtype=np.uint64)
+            idx = np.searchsorted(keys, h)
+            idx = np.minimum(idx, len(keys) - 1)
+            found = keys[idx] == h
+            idx = idx[found]
+            lb = [b for b, ok in zip(node.local_bits, found) if ok]
+            if len(idx) > max_kmers:
+                order = np.argsort(freq[idx], kind="stable")[:max_kmers]
+                idx = idx[order]
+                lb = [lb[i] for i in order]
+            node.table_idx = idx
+            node.local_bits_capped = lb
+
+
+def transition_probabilities(node_distance: int, nhap: int):
+    """Li-Stephens-style transition (genotype.cpp:954-964)."""
+    effective_population_size = 1e-05
+    recomb_rate = 1.26
+    d = LD(node_distance) * LD(0.000004) * LD(recomb_rate) * LD(effective_population_size)
+    n = LD(nhap)
+    recomb = (LD(1.0) - np.exp(-d / n)) * (LD(1.0) / n)
+    norecomb = np.exp(-d / n) + recomb
+    return recomb, norecomb
+
+
+def poisson_interval(lam: float):
+    sd = math.sqrt(lam)
+    return lam - 1.96 * sd, lam + 1.96 * sd
+
+
+def get_error_param(ave: float) -> float:
+    if ave < 10.0:
+        return 0.99
+    elif ave < 20:
+        return 0.95
+    elif ave < 40:
+        return 0.9
+    return 0.8
+
+
+def poisson_ld(mean: LD, value: int) -> LD:
+    s = LD(0.0)
+    for i in range(1, int(value) + 1):
+        s += np.log(LD(i))
+    return np.exp(-mean + LD(int(value)) * np.log(mean) - s)
+
+
+def geometric_ld(p: LD, value: int) -> LD:
+    mean, variance = LD(0.5), LD(0.05)
+    prior = (LD(1.0) / np.sqrt(LD(2.0) * LD(np.pi) * variance)) * np.exp(
+        -((p - mean) ** 2) / (LD(2.0) * variance)
+    )
+    q = LD(1.0) - p
+    likelihood = (q ** LD(int(value))) * (p ** (LD(1) - LD(int(value))))
+    return likelihood * prior
+
+
+def find_most_likely_depth(h: int, c: int, f: int, ave: np.float32,
+                           upper: float) -> int:
+    """Coverage rescaling (genotype.cpp:1136-1158); float32 math and uint8
+    truncation reproduce the reference."""
+    if f == 1:
+        return c
+    if h > 0 and c > np.float32(ave * h):
+        return int(np.float32(ave * np.float32(h)))  # uint8 truncation
+    elif h == 0 and c > ave:
+        return 0 if f > (np.float32(c) / np.float32(upper)) else int(c / np.float32(f))
+    elif h == 0 and c <= ave:
+        return int(c / np.float32(f))
+    return c
+
+
+class _WindowEngine:
+    """Scores one window: node observations -> forward -> backward ->
+    posterior."""
+
+    def __init__(self, gi: GraphIndex, cfg, hap_cov: float, chrom: str,
+                 lo: int, hi: int, rng: np.random.Generator,
+                 cov_u8: np.ndarray, freq: np.ndarray, bit_rows: np.ndarray,
+                 refflag: np.ndarray):
+        self.gi = gi
+        self.cfg = cfg
+        self.hap_cov = np.float32(hap_cov)
+        self.chrom = chrom
+        self.lo, self.hi = lo, hi
+        self.nodes = gi.graph.nodes[chrom]
+        self.cov_u8 = cov_u8
+        self.freq = freq
+        self.bit_rows = bit_rows
+        self.refflag = refflag
+        self.nhap = gi.nhap
+
+        # ---- haplotype selection (genotype.cpp:226-239,519-594) ----
+        idx_list = [
+            self.nodes[i].table_idx
+            for i in range(lo, hi)
+            if self.nodes[i].is_variant and self.nodes[i].table_idx is not None
+        ]
+        counts = window_hap_counts(idx_list, cov_u8, freq, bit_rows)
+        haploid_num = min(cfg.haploid_num, self.nhap)
+        self.top_hap, self.score_map = dirichlet_top_haps(counts, haploid_num, rng)
+        self.states = increment_vector(
+            self.top_hap, cfg.sample_type, cfg.sample_ploidy, self.nhap - 1
+        )
+        self.S = len(self.states)
+        self.P = cfg.sample_ploidy
+        self.lower, self.upper = poisson_interval(float(hap_cov))
+
+        # precompute multiset-overlap matrix between states
+        counters = [Counter(s) for s in self.states]
+        self.overlap = np.zeros((self.S, self.S), dtype=np.int32)
+        for i in range(self.S):
+            for j in range(self.S):
+                self.overlap[i, j] = sum(
+                    (counters[i] & counters[j]).values()
+                )
+
+    # ------------------------------------------------------------------
+    def node_observations(self, node):
+        """Hidden states + emission scores for one node.
+
+        Returns (obs [S] longdouble, active_idx, active_localbits) or None if
+        the node has no active k-mers (obs all-ones still returned: the
+        reference scores states even with zero k-mers -- observableScore
+        stays 1.0)."""
+        idx = node.table_idx
+        if idx is None:
+            idx = np.empty(0, np.int64)
+        bits = self.bit_rows[idx]  # [K, H]
+        # filter: keep k-mers carried by at least one top haplotype
+        # (hidden_states filter=true, genotype.cpp:673-687)
+        if len(idx):
+            keep = bits[:, self.top_hap].any(axis=1)
+            active = idx[keep]
+            local = [b for b, k2 in zip(node.local_bits_capped, keep) if k2]
+            bits = bits[keep]
+        else:
+            active = idx
+            local = []
+
+        K = len(active)
+        c = self.cov_u8[active].astype(np.int64)
+        f = self.freq[active].astype(np.int64)
+        flag = self.refflag[active]
+        hap_gt = node.hap_gt
+
+        # union of haplotypes used by states
+        used_haps = sorted({h for s in self.states for h in s})
+        # hTmp per (kmer, hap): the ref-flag CI inclusion rule
+        # (genotype.cpp:702)
+        htmp = {}
+        for hp in used_haps:
+            gt0 = hap_gt[hp] == 0 if hp < len(hap_gt) else True
+            ci = flag & gt0 & (c >= self.lower) & (c <= self.upper)
+            base = bits[:, hp].astype(np.int64) if K else np.empty(0, np.int64)
+            htmp[hp] = np.where(ci, 1, base)
+
+        # h per (state, kmer)
+        h = np.zeros((self.S, K), dtype=np.int64)
+        for si, s in enumerate(self.states):
+            for hp in s:
+                h[si] += htmp[hp]
+
+        # needSet: haplotypes requiring verification (genotype.cpp:706-710)
+        need = set()
+        trigger = (c < self.lower) & (f >= 2)
+        for hp in used_haps:
+            if (trigger & (htmp[hp] > 0)).any():
+                need.add(hp)
+
+        # verification via local bitmasks (replaces the reference's lazy
+        # re-sketch, genotype.cpp:725-812): for k-mers with c <= lower and
+        # f >= 2, subtract haplotypes whose context does NOT contain the
+        # k-mer at this node
+        if need and K:
+            verify_k = (c <= self.lower) & (f >= 2)
+            local_arr = np.array(
+                [[(b >> hp) & 1 for hp in used_haps] for b in local],
+                dtype=np.int64,
+            ) if local else np.zeros((K, len(used_haps)), np.int64)
+            hp_col = {hp: i for i, hp in enumerate(used_haps)}
+            for si, s in enumerate(self.states):
+                decr = np.zeros(K, dtype=np.int64)
+                for hp in s:
+                    if hp not in need:
+                        continue
+                    col = local_arr[:, hp_col[hp]]
+                    decr += (verify_k & (htmp[hp] == 1) & (col == 0)).astype(np.int64)
+                h[si] = np.maximum(h[si] - decr, 0)
+
+        # effective frequency (genotype.cpp:713-718)
+        f_eff = np.where(flag & (f == 1), 2, f)
+
+        # ---- emissions (observable_states, genotype.cpp:979-1017) ----
+        ave = self.hap_cov
+        err_p = LD(get_error_param(float(ave)))
+        obs = np.ones(self.S, dtype=LD)
+        for si in range(self.S):
+            prod = LD(1.0)
+            for ki in range(K):
+                cc = find_most_likely_depth(
+                    int(h[si, ki]), int(c[ki]), int(f_eff[ki]), ave, self.upper
+                )
+                if h[si, ki] == 0:
+                    prod *= geometric_ld(err_p, cc)
+                else:
+                    prod *= poisson_ld(LD(float(ave)) * LD(int(h[si, ki])), cc)
+            obs[si] = prod
+        return obs, active, local, f
+
+    # ------------------------------------------------------------------
+    def run(self, results: dict):
+        cfg = self.cfg
+        sv_only = cfg.sv_genotype_only
+        vcf_info_chrom = self.gi.vcf_info.get(self.chrom, {})
+
+        # gather scorable nodes
+        node_ids = []
+        for i in range(self.lo, self.hi):
+            node = self.nodes[i]
+            if len(node.hap_gt) <= 1:
+                continue
+            if sv_only:
+                info = vcf_info_chrom.get(node.start)
+                if info is None:
+                    raise ValueError(
+                        f"'{self.chrom}:{node.start}' does not exist in the VCF file."
+                    )
+                if len(info[3]) < 50 and len(info[4]) < 50:
+                    continue
+            node_ids.append(i)
+        if not node_ids:
+            return
+
+        obs_list = []
+        meta = []
+        for i in node_ids:
+            node = self.nodes[i]
+            obs, active, local, f_raw = self.node_observations(node)
+            obs_list.append(obs)
+            meta.append((i, node, active, f_raw))
+
+        rec_mode = cfg.transition_pro_type == "rec"
+
+        # A node with zero active k-mers has all-empty hidden-state vectors:
+        # the reference produces an empty HMMScoreVec for it, which RESETS the
+        # chain (the next node behaves like a first node) while still
+        # advancing the distance anchors (genotype.cpp:1188,371-374).
+
+        # ---- forward (genotype.cpp:257-375,1175-1258) ----
+        alphas: list = []
+        pre_alpha = None
+        pre_end = 0
+        for (i, node, active, _), obs in zip(meta, obs_list):
+            start = node.start
+            end = start + len(node.seqs[0]) - 1
+            if len(active) == 0:
+                alphas.append(None)
+                pre_alpha = None
+                pre_end = end
+                continue
+            if rec_mode:
+                dist = (start - pre_end) & 0xFFFFFFFF
+                rec, norec = transition_probabilities(dist, self.nhap)
+            else:
+                rec, norec = LD(0.0), LD(0.0)
+            alpha = self._step(pre_alpha, obs, rec, norec)
+            alphas.append(alpha)
+            pre_alpha = alpha
+            pre_end = end
+
+        # ---- backward (genotype.cpp:383-473,1276-1357) ----
+        betas: list = [None] * len(node_ids)
+        pre_beta = None
+        pre_start = 0
+        for pos in range(len(node_ids) - 1, -1, -1):
+            i, node, active, _ = meta[pos]
+            obs = obs_list[pos]
+            start = node.start
+            end = start + len(node.seqs[0]) - 1
+            if len(active) == 0:
+                pre_beta = None
+                pre_start = start
+                continue
+            if rec_mode:
+                dist = (pre_start - end) & 0xFFFFFFFF
+                rec, norec = transition_probabilities(dist, self.nhap)
+            else:
+                rec, norec = LD(0.0), LD(0.0)
+            beta = self._step(pre_beta, obs, rec, norec)
+            betas[pos] = beta
+            pre_beta = beta
+            pre_start = start
+
+        # ---- posterior (genotype.cpp:476-497,1371-1546) ----
+        for pos, (i, node, active, f_raw) in enumerate(meta):
+            if alphas[pos] is None or betas[pos] is None:
+                continue
+            self._posterior(node, alphas[pos], betas[pos], active, results)
+
+    def _step(self, pre, obs, rec, norec):
+        """One forward/backward update with per-node normalization."""
+        S = self.S
+        out = np.zeros(S, dtype=LD)
+        if pre is None:
+            out[:] = obs
+        elif rec == 0 and norec == 0:  # 'fre' mode
+            tot = pre.sum()
+            for si, s in enumerate(self.states):
+                val = tot * obs[si]
+                for hp in s:
+                    val *= LD(self.score_map.get(hp, np.nan))
+                out[si] = val
+        else:
+            for si in range(S):
+                n_no = self.overlap[si]  # [S]
+                acc = LD(0.0)
+                for pj in range(S):
+                    acc += (
+                        pre[pj]
+                        * (norec ** int(n_no[pj]))
+                        * (rec ** int(self.P - n_no[pj]))
+                    )
+                out[si] = acc * obs[si]
+        tot = out.sum()
+        if tot > 0:
+            out = out / tot
+        else:
+            out[:] = LD(1.0) / LD(S)
+        return out
+
+    def _posterior(self, node, alpha, beta, active, results: dict):
+        hap_gt = node.hap_gt
+        c = self.cov_u8[active].astype(np.int64)
+        f = self.freq[active].astype(np.int64)
+        bits = self.bit_rows[active]
+
+        # UK (genotype.cpp:1535-1546)
+        uk = int(min((f <= 1).sum(), 255))
+
+        # NAK/CAK source (genotype.cpp:1387-1414)
+        kmer_info = {}
+        for hp in self.top_hap:
+            if len(active):
+                sel = bits[:, hp].astype(bool)
+                kmer_info[hp] = (int(sel.sum()), int(c[sel].sum()))
+            else:
+                kmer_info[hp] = (0, 0)
+
+        den = (alpha * beta).sum()
+        post = (alpha * beta) / den if den != 0 else np.zeros_like(alpha)
+
+        # genotype aggregation with string-sorted keys (genotype.cpp:1441-1459)
+        geno_sum: dict[str, LD] = {}
+        geno_strs = []
+        for si, s in enumerate(self.states):
+            gvec = sorted(str(hap_gt[hp]) for hp in s)
+            gs = "/".join(gvec)
+            geno_strs.append(gs)
+            geno_sum[gs] = geno_sum.get(gs, LD(0.0)) + post[si]
+
+        best_g, best_score = None, LD(-1.0)
+        for gs in sorted(geno_sum.keys()):  # std::map lexicographic order
+            if geno_sum[gs] > best_score:
+                best_score = geno_sum[gs]
+                best_g = gs
+
+        rec_out = PosteriorRecord()
+        max_post = LD(0.0)
+        for si, s in enumerate(self.states):
+            if geno_strs[si] != best_g:
+                continue
+            rec_out.probability = float(best_score)
+            if max_post < post[si]:
+                max_post = post[si]
+                rec_out.hap_vec = list(s)
+                rec_out.kmer_num_vec = []
+                rec_out.kmer_avecov_vec = []
+                for hp in rec_out.hap_vec:
+                    num, covsum = kmer_info.get(hp, (0, 0))
+                    rec_out.kmer_num_vec.append(num)
+                    rec_out.kmer_avecov_vec.append(
+                        float(covsum) / num if num else 0.0
+                    )
+                rec_out.uk = uk
+        results[(self.chrom, node.start)] = rec_out
+
+
+def genotype_np(gi: GraphIndex, cfg, hap_cov: float, seed: int
+                ) -> dict[tuple[str, int], PosteriorRecord]:
+    """Run the oracle engine over all chromosomes/windows."""
+    cov_u8 = gi.table.cov_u8()
+    freq = gi.table.freq_np()
+    bit_rows = gi.table.hapbit_rows_np()
+    refflag = gi.table.refflag_np()
+
+    results: dict[tuple[str, int], PosteriorRecord] = {}
+    for chrom in sorted(gi.graph.nodes.keys()):
+        starts = gi.graph.starts[chrom]
+        chrom_len = gi.chrom_lens.get(chrom)
+        if chrom_len is None:
+            raise ValueError(f"'{chrom}' does not exist in the reference genome.")
+        windows = make_windows(starts, chrom_len, cfg.granularity_bp)
+        for w_id, (lo, hi) in enumerate(windows):
+            rng = np.random.Generator(
+                np.random.PCG64([seed, hash(chrom) & 0x7FFFFFFF, w_id])
+            )
+            eng = _WindowEngine(
+                gi, cfg, hap_cov, chrom, lo, hi, rng,
+                cov_u8, freq, bit_rows, refflag,
+            )
+            log(
+                f"Haplotype selection results for {chrom}-"
+                f"{starts[lo] if lo < len(starts) else 0}: "
+                + ", ".join(str(h) for h in eng.top_hap),
+                func="haplotype_selection",
+            )
+            eng.run(results)
+    return results

@@ -1,0 +1,103 @@
+"""Genotype-phase orchestration (reference Varigraph::fastq_genotype,
+src/varigraph.cpp:153-209): load graph -> per sample: count reads on device,
+estimate the coverage model, run the HMM engine, write the VCF, reset."""
+
+from __future__ import annotations
+
+import os
+
+from ..config import VarigraphConfig
+from ..index.serialize import load_graph
+from ..index.structs import GraphIndex
+from ..utils.log import log
+from .counting import count_reads
+from .coverage import estimate_hap_coverage
+from .engine_np import genotype_np, graph2node
+from .vcfout import write_vcf
+
+
+def parse_sample_config(path: str) -> list[tuple[str, list[str]]]:
+    """Parse 'sample r1.fq.gz r2.fq.gz ...' lines (varigraph.cpp:104-146)."""
+    log(f"Starting to parse the samples configuration file: {path}")
+    out = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.split()
+            if len(parts) <= 1:
+                raise ValueError(
+                    "The samples configuration file is missing sequencing file "
+                    f"information ({line})."
+                )
+            sample, files = parts[0], parts[1:]
+            for f in files:
+                if not os.path.exists(f) or os.path.getsize(f) == 0:
+                    raise FileNotFoundError(
+                        f"File '{f}' does not exist or is empty."
+                    )
+            out.append((sample, files))
+    log(f"Number of samples: {len(out)}")
+    return out
+
+
+def genotype_one_sample(
+    gi: GraphIndex,
+    cfg: VarigraphConfig,
+    sample_name: str,
+    fastq_files: list[str],
+    out_dir: str = ".",
+) -> str:
+    """Count + genotype one sample; returns the output VCF path."""
+    read_base = count_reads(
+        gi.table, fastq_files, gi.kmer_len, cfg.read_batch_size, cfg.max_read_len
+    )
+    read_depth = read_base / float(gi.genome_size)
+
+    cov_u8 = gi.table.cov_u8()
+    freq = gi.table.freq_np()
+    bit_rows = gi.table.hapbit_rows_np()
+    hap_cov = estimate_hap_coverage(
+        cov_u8, freq, bit_rows, gi.vcf_ploidy, cfg.sample_ploidy,
+        read_depth, cfg.use_depth,
+    )
+    log(f"Size of the sequenced data: {read_base / 1e9:.2f} Gb")
+    log(f"Depth of the sequenced data: {read_depth:.2f}")
+    log(f"Coverage of haplotype k-mers: {hap_cov:.2f}")
+
+    log("Genotyping ...", func="genotype")
+    log("Applying forward and backward algorithm ...", func="genotype")
+    if cfg.engine == "np":
+        results = genotype_np(gi, cfg, hap_cov, cfg.seed)
+    else:
+        from .engine_jax import genotype_jax
+
+        results = genotype_jax(gi, cfg, hap_cov, cfg.seed)
+
+    out_path = os.path.join(out_dir, f"{sample_name}.varigraph.vcf.gz")
+    write_vcf(gi, results, sample_name, out_path, cfg.min_supporting_gq)
+    return out_path
+
+
+def run_genotype(cfg: VarigraphConfig, out_dir: str = ".") -> list[str]:
+    """Full genotype phase over all samples in the config file."""
+    samples = parse_sample_config(cfg.samples_config_file)
+    gi = load_graph(cfg.input_graph_file)
+    # loaded k / ploidy override the CLI (varigraph.cpp:86-89)
+    cfg.kmer_len = gi.kmer_len
+    cfg.vcf_ploidy = gi.vcf_ploidy
+
+    log("Merging k-mer information from Genome Graph into Nodes ...",
+        func="graph2node")
+    graph2node(gi)
+
+    outputs = []
+    for sample_name, fastq_files in samples:
+        log(f"Processing sample: {sample_name}", func="fastq_genotype")
+        outputs.append(
+            genotype_one_sample(gi, cfg, sample_name, fastq_files, out_dir)
+        )
+        log(f"Sample: {sample_name} has been processed.", func="fastq_genotype")
+        gi.table.reset_cov()
+    return outputs
