@@ -41,7 +41,7 @@ class VarigraphConfig:
     debug: bool = False  # -D
     threads: int = 10  # -t (host-side parallel parsing; device work is jitted)
     seed: int = 0  # deterministic seed for CBF hashing + Dirichlet draws
-    engine: str = "np"  # genotyping engine: "jax" (device) | "np" (host oracle)
+    engine: str = "jax"  # genotyping engine: "jax" (device) | "np" (host oracle)
 
     # ---- TPU / batching knobs (no reference counterpart) ----
     read_batch_size: int = 65536  # reads per device batch

@@ -1,0 +1,518 @@
+"""Device (JAX/TPU) genotyping engine.
+
+TPU-native formulation of the genotyping math (validated against the
+extended-precision oracle in engine_np.py, which ports reference
+src/genotype.cpp -- see its docstring for the file:line map):
+
+  * hidden states + emissions: one fused jitted pass over node chunks
+    producing log-emission matrices [nodes, states]; all the reference's
+    per-k-mer scalar branches (ref-flag CI rule, local-bitmask verification,
+    coverage rescaling, Poisson/geometric scoring) become vectorized selects
+    over [chunk, states, kmers] tensors.
+  * forward/backward: a lax.scan over nodes, vmapped over windows
+    ([windows, maxN, S] batching).  Per-node transition matrices are
+    exp(overlap * log_norecomb + (ploidy-overlap) * log_recomb), built from a
+    precomputed state-overlap matrix; emissions are max-subtracted per node,
+    which cancels in the reference's own per-node normalization.
+  * chain resets: nodes with zero active k-mers reset the HMM (fresh flag in
+    the scan carry), matching the reference's empty-HMMScoreVec behavior.
+  * posterior aggregation (string-keyed genotype grouping, NAK/CAK/UK) stays
+    on host -- it's tiny and tie-breaking is string-ordered.
+
+Float32 on device; the oracle engine is the precision reference.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from collections import Counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.structs import GraphIndex
+from ..utils.log import log
+from .combos import increment_vector
+from .engine_np import (
+    PosteriorRecord,
+    get_error_param,
+    make_windows,
+    poisson_interval,
+)
+from .hapselect import dirichlet_top_haps, window_hap_counts
+
+MAX_NODE_KMERS = 128
+
+
+# ======================================================================
+# emission kernel
+# ======================================================================
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _emissions(
+    c,          # [B, K] int32   raw coverage (saturated u8)
+    f,          # [B, K] int32   graph frequency
+    flag,       # [B, K] bool    ref flag
+    kmask,      # [B, K] bool    valid k-mer
+    bits_u,     # [B, K, U] int32   global hap bits for used haps
+    local_u,    # [B, K, U] int32   node-local hap bits for used haps
+    gt0_u,      # [B, U] bool    hap's GT at this node == 0
+    state_u,    # [S, P] int32   state -> used-hap index
+    smask,      # [S] bool       valid state
+    ave,        # f32 scalar     hap k-mer coverage
+    lower, upper,  # f32 scalars  95% CI
+    log_p, log_q, log_prior,  # f32 scalars of the geometric model
+    P: int,
+):
+    """Returns logE [B, S] (f32): per-state log emission scores."""
+    ave = jnp.float32(ave)
+    # hTmp per (b, k, u): ref-flag CI inclusion (genotype.cpp:702)
+    cf = c.astype(jnp.float32)
+    ci = flag[:, :, None] & gt0_u[:, None, :] & (
+        (cf >= lower) & (cf <= upper)
+    )[:, :, None]
+    htmp = jnp.where(ci, 1, bits_u)  # [B, K, U]
+
+    # h per (b, s, k): sum over the state's haplotypes
+    ht_sel = htmp[:, :, state_u]            # [B, K, S, P]
+    h = ht_sel.sum(axis=-1)                 # [B, K, S]
+
+    # verification (genotype.cpp:706-812) via local bitmasks
+    trigger = ((cf < lower) & (f >= 2))[:, :, None] & (htmp > 0) & kmask[:, :, None]
+    need_u = trigger.any(axis=1)            # [B, U]
+    verify_k = (cf <= lower) & (f >= 2)     # [B, K]
+    dec_u = (
+        verify_k[:, :, None]
+        & (htmp == 1)
+        & need_u[:, None, :]
+        & (local_u == 0)
+    )                                        # [B, K, U]
+    dec = dec_u[:, :, state_u].sum(axis=-1)  # [B, K, S]
+    h = jnp.maximum(h - dec, 0)
+
+    # effective frequency (genotype.cpp:713-718)
+    f_eff = jnp.where(flag & (f == 1), 2, f)[:, :, None]  # [B, K, 1]
+
+    # coverage rescaling (find_most_likely_depth, genotype.cpp:1136-1158)
+    cB = c[:, :, None].astype(jnp.float32)   # [B, K, 1]
+    hf = h.astype(jnp.float32)               # [B, K, S]
+    ff = f_eff.astype(jnp.float32)
+    cap = jnp.floor(ave * hf)                # uint8 truncation
+    c_div_f = jnp.floor(cB / ff)
+    cond_h_hi = (h > 0) & (cB > ave * hf)
+    cond_0_hi = (h == 0) & (cB > ave)
+    cond_0_lo = (h == 0) & (cB <= ave)
+    zero_out = ff > (cB / jnp.float32(upper))
+    cc = jnp.where(
+        f_eff == 1,
+        cB,
+        jnp.where(
+            cond_h_hi, cap,
+            jnp.where(
+                cond_0_hi, jnp.where(zero_out, 0.0, c_div_f),
+                jnp.where(cond_0_lo, c_div_f, cB),
+            ),
+        ),
+    )  # [B, K, S]
+
+    # log emissions
+    # h == 0: geometric = prior(p) * q^c * p^(1-c)  (genotype.cpp:1095-1120)
+    log_geo = log_prior + cc * log_q + (1.0 - cc) * log_p
+    # h > 0: Poisson(mean = ave*h) at cc  (genotype.cpp:1030-1039)
+    mean = ave * hf
+    log_poi = -mean + cc * jnp.log(jnp.maximum(mean, 1e-30)) - jax.lax.lgamma(cc + 1.0)
+    terms = jnp.where(h == 0, log_geo, log_poi)          # [B, K, S]
+    terms = jnp.where(kmask[:, :, None], terms, 0.0)
+    logE = terms.sum(axis=1)                              # [B, S]
+    return jnp.where(smask[None, :], logE, -jnp.inf)
+
+
+# ======================================================================
+# forward/backward scan
+# ======================================================================
+
+@functools.partial(jax.jit, static_argnames=("P",))
+def _forward_backward(
+    logE,        # [W, N, S] f32
+    kind,        # [W, N] int32  0=pad 1=real 2=reset
+    log_rec_f, log_norec_f,  # [W, N] f32 (forward distances)
+    log_rec_b, log_norec_b,  # [W, N] f32 (backward distances)
+    overlap,     # [W, S, S] int32
+    log_w,       # [W, S] f32  per-state hap-frequency factor ('fre' mode)
+    smask,       # [W, S] bool
+    fre_mode,    # bool scalar
+    P: int,
+):
+    """Returns (alpha, beta) [W, N, S]."""
+    Pf = jnp.float32(P)
+    nvalid = smask.sum(axis=-1).astype(jnp.float32)  # [W]
+
+    def make_T(lr, lnr, ov):
+        # T[i,j] = norec^ov * rec^(P-ov); safe at rec==0 (m==0 -> factor 1)
+        ovf = ov.astype(jnp.float32)
+        m = Pf - ovf
+        a = jnp.where(ovf == 0.0, 0.0, ovf * lnr)
+        b = jnp.where(m == 0.0, 0.0, m * lr)
+        return jnp.exp(a + b)
+
+    def step(carry, xs, ov, lw, sm, nv):
+        alpha, fresh = carry
+        le, knd, lr, lnr = xs
+        e = jnp.where(sm, jnp.exp(le - jnp.max(jnp.where(sm, le, -jnp.inf))), 0.0)
+
+        def real_step():
+            T = make_T(lr, lnr, ov)  # [S, S]
+            flow = jnp.where(
+                fre_mode,
+                alpha.sum() * jnp.exp(jnp.where(sm, lw, 0.0)),
+                alpha @ T,
+            )
+            raw = jnp.where(fresh, e, flow * e)
+            tot = raw.sum()
+            uniform = jnp.where(sm, 1.0 / nv, 0.0)
+            return jnp.where(tot > 0, raw / tot, uniform)
+
+        new_alpha = jax.lax.cond(knd == 1, real_step, lambda: alpha)
+        new_fresh = jnp.where(knd == 1, False, jnp.where(knd == 2, True, fresh))
+        out = jnp.where(knd == 1, new_alpha, jnp.zeros_like(new_alpha))
+        return (new_alpha, new_fresh), out
+
+    def run_window(le_w, kind_w, lrf, lnrf, lrb, lnrb, ov, lw, sm, nv):
+        S = le_w.shape[-1]
+        init = (jnp.zeros((S,), jnp.float32), jnp.bool_(True))
+        _, alpha = jax.lax.scan(
+            lambda c, x: step(c, x, ov, lw, sm, nv),
+            init, (le_w, kind_w, lrf, lnrf),
+        )
+        _, beta_rev = jax.lax.scan(
+            lambda c, x: step(c, x, ov, lw, sm, nv),
+            init,
+            (le_w[::-1], kind_w[::-1], lrb[::-1], lnrb[::-1]),
+        )
+        return alpha, beta_rev[::-1]
+
+    return jax.vmap(run_window)(
+        logE, kind, log_rec_f, log_norec_f, log_rec_b, log_norec_b,
+        overlap, log_w, smask, nvalid,
+    )
+
+
+# ======================================================================
+# host orchestration
+# ======================================================================
+
+def _transition_logs(dist: np.ndarray, nhap: int):
+    """log(recomb), log(norecomb) per distance (genotype.cpp:954-964)."""
+    d = dist.astype(np.float64) * 0.000004 * 1.26 * 1e-05
+    n = float(nhap)
+    ex = np.exp(-d / n)
+    rec = (1.0 - ex) * (1.0 / n)
+    norec = ex + rec
+    with np.errstate(divide="ignore"):
+        return (
+            np.log(rec).astype(np.float32),
+            np.log(norec).astype(np.float32),
+        )
+
+
+class _WindowPrep:
+    """Host-side gather of one window's tensors."""
+
+    def __init__(self, gi, cfg, chrom, lo, hi, rng, cov_u8, freq_np, bit_rows,
+                 refflag, hap_cov):
+        self.chrom = chrom
+        nodes = gi.graph.nodes[chrom]
+        self.cfg = cfg
+        nhap = gi.nhap
+
+        idx_list = [
+            nodes[i].table_idx
+            for i in range(lo, hi)
+            if nodes[i].is_variant and nodes[i].table_idx is not None
+        ]
+        counts = window_hap_counts(idx_list, cov_u8, freq_np, bit_rows)
+        haploid_num = min(cfg.haploid_num, nhap)
+        self.top_hap, self.score_map = dirichlet_top_haps(counts, haploid_num, rng)
+        self.states = increment_vector(
+            self.top_hap, cfg.sample_type, cfg.sample_ploidy, nhap - 1
+        )
+        self.used_haps = sorted({h for s in self.states for h in s})
+
+        counters = [Counter(s) for s in self.states]
+        S = len(self.states)
+        self.overlap = np.zeros((S, S), np.int32)
+        for i in range(S):
+            for j in range(S):
+                self.overlap[i, j] = sum((counters[i] & counters[j]).values())
+
+        # scorable nodes (genotype.cpp:257-277)
+        vcf_info_chrom = gi.vcf_info.get(chrom, {})
+        self.node_refs = []
+        for i in range(lo, hi):
+            node = nodes[i]
+            if len(node.hap_gt) <= 1:
+                continue
+            if cfg.sv_genotype_only:
+                info = vcf_info_chrom.get(node.start)
+                if info is None:
+                    raise ValueError(
+                        f"'{chrom}:{node.start}' does not exist in the VCF file."
+                    )
+                if len(info[3]) < 50 and len(info[4]) < 50:
+                    continue
+            self.node_refs.append(node)
+
+        lower, upper = poisson_interval(float(hap_cov))
+        self.lower, self.upper = lower, upper
+
+        n = len(self.node_refs)
+        U = len(self.used_haps)
+        K = MAX_NODE_KMERS
+        self.c = np.zeros((n, K), np.int32)
+        self.f = np.zeros((n, K), np.int32)
+        self.flag = np.zeros((n, K), bool)
+        self.kmask = np.zeros((n, K), bool)
+        self.bits_u = np.zeros((n, K, U), np.int32)
+        self.local_u = np.zeros((n, K, U), np.int32)
+        self.gt0_u = np.zeros((n, U), bool)
+        self.kind = np.ones(n, np.int32)
+        self.active_idx = []
+
+        starts = np.array([nd.start for nd in self.node_refs], np.int64)
+        ends = np.array(
+            [nd.start + len(nd.seqs[0]) - 1 for nd in self.node_refs], np.int64
+        )
+
+        for ni, node in enumerate(self.node_refs):
+            idx = node.table_idx
+            if idx is None or len(idx) == 0:
+                self.kind[ni] = 2
+                self.active_idx.append(np.empty(0, np.int64))
+                continue
+            bits = bit_rows[idx]
+            keep = bits[:, self.top_hap].any(axis=1)
+            act = idx[keep]
+            if len(act) == 0:
+                self.kind[ni] = 2
+                self.active_idx.append(act)
+                continue
+            self.active_idx.append(act)
+            kk = len(act)
+            self.c[ni, :kk] = cov_u8[act]
+            self.f[ni, :kk] = freq_np[act]
+            self.flag[ni, :kk] = refflag[act]
+            self.kmask[ni, :kk] = True
+            self.bits_u[ni, :kk] = bit_rows[act][:, self.used_haps]
+            local = [b for b, k2 in zip(node.local_bits_capped, keep) if k2]
+            for kj, b in enumerate(local):
+                for uj, hp in enumerate(self.used_haps):
+                    self.local_u[ni, kj, uj] = (b >> hp) & 1
+            for uj, hp in enumerate(self.used_haps):
+                self.gt0_u[ni, uj] = (
+                    node.hap_gt[hp] == 0 if hp < len(node.hap_gt) else True
+                )
+
+        # distances between chain nodes (resets update anchors but do not
+        # score -- genotype.cpp:371-374)
+        dist_f = np.zeros(n, np.int64)
+        pre_end = 0
+        for ni in range(n):
+            dist_f[ni] = (starts[ni] - pre_end) & 0xFFFFFFFF
+            pre_end = ends[ni]
+        dist_b = np.zeros(n, np.int64)
+        pre_start = 0
+        for ni in range(n - 1, -1, -1):
+            dist_b[ni] = (pre_start - ends[ni]) & 0xFFFFFFFF
+            pre_start = starts[ni]
+        self.log_rec_f, self.log_norec_f = _transition_logs(dist_f, nhap)
+        self.log_rec_b, self.log_norec_b = _transition_logs(dist_b, nhap)
+
+        hap2u = {hp: i for i, hp in enumerate(self.used_haps)}
+        self.state_u = np.array(
+            [[hap2u[h] for h in s] for s in self.states], np.int32
+        )
+        with np.errstate(divide="ignore"):
+            self.log_w = np.array(
+                [
+                    sum(math.log(self.score_map[h]) if self.score_map.get(h, 0) > 0
+                        else -np.inf for h in s)
+                    for s in self.states
+                ],
+                np.float32,
+            )
+
+
+def _pow2(n: int, lo: int = 1) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int
+                 ) -> dict[tuple[str, int], PosteriorRecord]:
+    cov_u8 = gi.table.cov_u8()
+    freq_np = gi.table.freq_np()
+    bit_rows = gi.table.hapbit_rows_np()
+    refflag = gi.table.refflag_np()
+
+    # geometric-model scalars
+    p = get_error_param(float(np.float32(hap_cov)))
+    q = 1.0 - p
+    variance = 0.05
+    log_prior = float(
+        np.log(1.0 / np.sqrt(2 * np.pi * variance))
+        - (p - 0.5) ** 2 / (2 * variance)
+    )
+
+    preps: list[_WindowPrep] = []
+    for chrom in sorted(gi.graph.nodes.keys()):
+        starts = gi.graph.starts[chrom]
+        chrom_len = gi.chrom_lens.get(chrom)
+        if chrom_len is None:
+            raise ValueError(f"'{chrom}' does not exist in the reference genome.")
+        windows = make_windows(starts, chrom_len, cfg.granularity_bp)
+        for w_id, (lo, hi) in enumerate(windows):
+            rng = np.random.Generator(
+                np.random.PCG64([seed, hash(chrom) & 0x7FFFFFFF, w_id])
+            )
+            prep = _WindowPrep(gi, cfg, chrom, lo, hi, rng, cov_u8, freq_np,
+                               bit_rows, refflag, hap_cov)
+            log(
+                f"Haplotype selection results for {chrom}-"
+                f"{starts[lo] if lo < len(starts) else 0}: "
+                + ", ".join(str(h) for h in prep.top_hap),
+                func="haplotype_selection",
+            )
+            if prep.node_refs:
+                preps.append(prep)
+
+    results: dict[tuple[str, int], PosteriorRecord] = {}
+    if not preps:
+        return results
+
+    # pad to common shapes
+    S = _pow2(max(len(p_.states) for p_ in preps), 4)
+    U = _pow2(max(len(p_.used_haps) for p_ in preps), 4)
+    N = _pow2(max(len(p_.node_refs) for p_ in preps), 8)
+    W = len(preps)
+    K = MAX_NODE_KMERS
+    P = cfg.sample_ploidy
+
+    fre_mode = cfg.transition_pro_type != "rec"
+
+    # ---- emissions per window (chunked over nodes) ----
+    logE_all = np.full((W, N, S), -np.inf, np.float32)
+    kind_all = np.zeros((W, N), np.int32)
+    lrf = np.zeros((W, N), np.float32)
+    lnrf = np.zeros((W, N), np.float32)
+    lrb = np.zeros((W, N), np.float32)
+    lnrb = np.zeros((W, N), np.float32)
+    ov_all = np.zeros((W, S, S), np.int32)
+    lw_all = np.full((W, S), 0.0, np.float32)
+    sm_all = np.zeros((W, S), bool)
+
+    for wi, prep in enumerate(preps):
+        n = len(prep.node_refs)
+        s = len(prep.states)
+        u = len(prep.used_haps)
+        # pad per-window tensors
+        def padK(a, shape, fill=0):
+            out = np.full(shape, fill, a.dtype)
+            out[tuple(slice(0, d) for d in a.shape)] = a
+            return out
+
+        # pad the node axis to N as well so the emission kernel compiles once
+        bits_u = padK(prep.bits_u, (N, K, U))
+        local_u = padK(prep.local_u, (N, K, U))
+        gt0_u = padK(prep.gt0_u, (N, U))
+        state_u = padK(prep.state_u, (S, P))
+        smask = np.zeros(S, bool)
+        smask[:s] = True
+
+        logE = _emissions(
+            jnp.asarray(padK(prep.c, (N, K))), jnp.asarray(padK(prep.f, (N, K))),
+            jnp.asarray(padK(prep.flag, (N, K))),
+            jnp.asarray(padK(prep.kmask, (N, K))),
+            jnp.asarray(bits_u), jnp.asarray(local_u),
+            jnp.asarray(gt0_u), jnp.asarray(state_u), jnp.asarray(smask),
+            np.float32(hap_cov), np.float32(prep.lower), np.float32(prep.upper),
+            np.float32(np.log(p)), np.float32(np.log(q)), np.float32(log_prior),
+            P,
+        )
+        logE_all[wi, :n] = np.asarray(logE)[:n]
+        kind_all[wi, :n] = prep.kind
+        lrf[wi, :n] = prep.log_rec_f
+        lnrf[wi, :n] = prep.log_norec_f
+        lrb[wi, :n] = prep.log_rec_b
+        lnrb[wi, :n] = prep.log_norec_b
+        ov_all[wi, :s, :s] = prep.overlap
+        lw_all[wi, :s] = prep.log_w
+        sm_all[wi, :s] = True
+
+    alpha, beta = _forward_backward(
+        jnp.asarray(logE_all), jnp.asarray(kind_all),
+        jnp.asarray(lrf), jnp.asarray(lnrf), jnp.asarray(lrb), jnp.asarray(lnrb),
+        jnp.asarray(ov_all), jnp.asarray(lw_all), jnp.asarray(sm_all),
+        jnp.bool_(fre_mode), P,
+    )
+    alpha = np.asarray(alpha)
+    beta = np.asarray(beta)
+
+    # ---- posterior on host (genotype.cpp:1371-1546) ----
+    for wi, prep in enumerate(preps):
+        s = len(prep.states)
+        for ni, node in enumerate(prep.node_refs):
+            if prep.kind[ni] != 1:
+                continue
+            a = alpha[wi, ni, :s].astype(np.float64)
+            b = beta[wi, ni, :s].astype(np.float64)
+            den = float((a * b).sum())
+            post = (a * b) / den if den != 0 else np.zeros_like(a)
+
+            hap_gt = node.hap_gt
+            geno_strs = [
+                "/".join(sorted(str(hap_gt[h]) for h in st))
+                for st in prep.states
+            ]
+            geno_sum: dict[str, float] = {}
+            for si in range(s):
+                geno_sum[geno_strs[si]] = geno_sum.get(geno_strs[si], 0.0) + post[si]
+            best_g, best_score = None, -1.0
+            for gs in sorted(geno_sum.keys()):
+                if geno_sum[gs] > best_score:
+                    best_score = geno_sum[gs]
+                    best_g = gs
+
+            act = prep.active_idx[ni]
+            cact = cov_u8[act].astype(np.int64)
+            fact = freq_np[act].astype(np.int64)
+            bact = bit_rows[act]
+            uk = int(min((fact <= 1).sum(), 255))
+            kmer_info = {}
+            for hp in prep.top_hap:
+                sel = bact[:, hp].astype(bool) if len(act) else np.zeros(0, bool)
+                kmer_info[hp] = (int(sel.sum()), int(cact[sel].sum()) if len(act) else 0)
+
+            rec_out = PosteriorRecord()
+            max_post = 0.0
+            for si in range(s):
+                if geno_strs[si] != best_g:
+                    continue
+                rec_out.probability = float(best_score)
+                if max_post < post[si]:
+                    max_post = post[si]
+                    rec_out.hap_vec = list(prep.states[si])
+                    rec_out.kmer_num_vec = []
+                    rec_out.kmer_avecov_vec = []
+                    for hp in rec_out.hap_vec:
+                        num, covsum = kmer_info.get(hp, (0, 0))
+                        rec_out.kmer_num_vec.append(num)
+                        rec_out.kmer_avecov_vec.append(
+                            float(covsum) / num if num else 0.0
+                        )
+                    rec_out.uk = uk
+            results[(prep.chrom, node.start)] = rec_out
+    return results

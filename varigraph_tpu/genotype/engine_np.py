@@ -123,11 +123,16 @@ def get_error_param(ave: float) -> float:
     return 0.8
 
 
+# cumulative log-factorial table (the reference recomputes sum(log i) per
+# call, genotype.cpp:1036; values are identical)
+_LOG_FACT = np.zeros(257, dtype=LD)
+for _i in range(1, 257):
+    _LOG_FACT[_i] = _LOG_FACT[_i - 1] + np.log(LD(_i))
+
+
 def poisson_ld(mean: LD, value: int) -> LD:
-    s = LD(0.0)
-    for i in range(1, int(value) + 1):
-        s += np.log(LD(i))
-    return np.exp(-mean + LD(int(value)) * np.log(mean) - s)
+    v = int(value)
+    return np.exp(-mean + LD(v) * np.log(mean) - _LOG_FACT[v])
 
 
 def geometric_ld(p: LD, value: int) -> LD:
@@ -190,6 +195,7 @@ class _WindowEngine:
         self.S = len(self.states)
         self.P = cfg.sample_ploidy
         self.lower, self.upper = poisson_interval(float(hap_cov))
+        self._term_cache: dict = {}
 
         # precompute multiset-overlap matrix between states
         counters = [Counter(s) for s in self.states]
@@ -279,17 +285,24 @@ class _WindowEngine:
         # ---- emissions (observable_states, genotype.cpp:979-1017) ----
         ave = self.hap_cov
         err_p = LD(get_error_param(float(ave)))
+        term_cache = self._term_cache
         obs = np.ones(self.S, dtype=LD)
         for si in range(self.S):
             prod = LD(1.0)
             for ki in range(K):
-                cc = find_most_likely_depth(
-                    int(h[si, ki]), int(c[ki]), int(f_eff[ki]), ave, self.upper
-                )
-                if h[si, ki] == 0:
-                    prod *= geometric_ld(err_p, cc)
-                else:
-                    prod *= poisson_ld(LD(float(ave)) * LD(int(h[si, ki])), cc)
+                hi = int(h[si, ki])
+                key = (hi, int(c[ki]), int(f_eff[ki]))
+                term = term_cache.get(key)
+                if term is None:
+                    cc = find_most_likely_depth(
+                        hi, int(c[ki]), int(f_eff[ki]), ave, self.upper
+                    )
+                    if hi == 0:
+                        term = geometric_ld(err_p, cc)
+                    else:
+                        term = poisson_ld(LD(float(ave)) * LD(hi), cc)
+                    term_cache[key] = term
+                prod *= term
             obs[si] = prod
         return obs, active, local, f
 
