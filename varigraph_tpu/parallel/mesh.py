@@ -1,0 +1,153 @@
+"""Multi-chip execution over a jax.sharding.Mesh.
+
+The reference has no distributed mode at all (SURVEY.md section 2.4: a CPU
+thread pool plus one optional CUDA device).  This layer is new, TPU-first
+design:
+
+  * mesh axis "data": read batches are sharded across devices; each device
+    sketches and probes its shard, per-shard count deltas merge with psum
+    (replicated-table mode) -- collectives ride ICI.
+  * hash-range sharding: when the k-mer table exceeds a single chip's HBM,
+    keys/cov are sharded along the table axis; each device probes its local
+    key range against the (replicated) query batch and keeps its own coverage
+    shard -- no collective needed on the update path at all.
+  * genotyping windows are a batch dimension (window-parallel scoring):
+    the [W, N, S] forward/backward in engine_jax vmaps over windows, so
+    sharding W across "data" distributes the HMM with zero code change.
+
+All functions are shard_map'd and jitted; they run identically on a
+multi-chip TPU slice or on `--xla_force_host_platform_device_count=N`
+virtual CPU devices.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.kmer import sketch_codes
+
+
+def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices <= 0:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+# ----------------------------------------------------------------------
+# data-parallel counting with a replicated table
+# ----------------------------------------------------------------------
+
+def make_count_batch_replicated(mesh: Mesh, k: int):
+    """Returns a jitted step: (cov, keys, codes[B, L]) -> cov.
+
+    codes are sharded along the batch axis; the coverage update is a
+    per-shard scatter-add followed by a psum over the data axis.
+    """
+
+    def shard_fn(cov, keys, codes):
+        values, emit = sketch_codes(codes, k)
+        q = values.reshape(-1)
+        m = emit.reshape(-1)
+        idx = jnp.searchsorted(keys, q)
+        idx = jnp.minimum(idx, keys.shape[0] - 1)
+        found = (keys[idx] == q) & m
+        delta = (
+            jnp.zeros_like(cov).at[idx].add(found.astype(jnp.uint32), mode="drop")
+        )
+        delta = jax.lax.psum(delta, "data")
+        return cov + delta
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None)),
+        out_specs=P(),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def count_batch_replicated(mesh: Mesh, k: int, cov, keys, codes):
+    return make_count_batch_replicated(mesh, k)(cov, keys, codes)
+
+
+# ----------------------------------------------------------------------
+# hash-range-sharded table
+# ----------------------------------------------------------------------
+
+def shard_table_arrays(mesh: Mesh, keys: np.ndarray, cov: np.ndarray):
+    """Pad the sorted key array to a multiple of the mesh size and place
+    keys/cov sharded along the table axis."""
+    n = mesh.devices.size
+    m = len(keys)
+    pad = (-m) % n
+    if pad:
+        keys = np.concatenate([keys, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))])
+        cov = np.concatenate([cov, np.zeros(pad, cov.dtype)])
+    sharding = NamedSharding(mesh, P("data"))
+    return (
+        jax.device_put(jnp.asarray(keys), sharding),
+        jax.device_put(jnp.asarray(cov), sharding),
+        m,
+    )
+
+
+def make_count_batch_hash_sharded(mesh: Mesh, k: int):
+    """Returns a jitted step: (cov_sh, keys_sh, codes[B, L]) -> cov_sh.
+
+    The table is sharded by (sorted) hash range; the read batch is sharded
+    along the batch axis, sketched locally, then all-gathered so every device
+    probes the full batch against its local key range.  Coverage shards are
+    updated locally -- no collective on the write path.
+    """
+
+    def shard_fn(cov_l, keys_l, codes):
+        values, emit = sketch_codes(codes, k)
+        q = values.reshape(-1)
+        m = emit.reshape(-1)
+        q = jax.lax.all_gather(q, "data", tiled=True)
+        m = jax.lax.all_gather(m, "data", tiled=True)
+        idx = jnp.searchsorted(keys_l, q)
+        idx = jnp.minimum(idx, keys_l.shape[0] - 1)
+        found = (keys_l[idx] == q) & m
+        return cov_l.at[idx].add(found.astype(jnp.uint32), mode="drop")
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data", None)),
+        out_specs=P("data"),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def count_batch_hash_sharded(mesh: Mesh, k: int, cov_sh, keys_sh, codes):
+    return make_count_batch_hash_sharded(mesh, k)(cov_sh, keys_sh, codes)
+
+
+# ----------------------------------------------------------------------
+# distributed coverage histogram (the 256-bin psum of SURVEY.md section 5.8)
+# ----------------------------------------------------------------------
+
+def make_hom_histogram(mesh: Mesh):
+    """(cov_u8 shard, hom_mask shard) -> replicated 256-bin histogram."""
+
+    def shard_fn(cov_l, mask_l):
+        hist = jnp.zeros((256,), jnp.uint32).at[
+            jnp.where(mask_l, cov_l.astype(jnp.int32), 256 - 1)
+        ].add(mask_l.astype(jnp.uint32), mode="drop")
+        return jax.lax.psum(hist, "data")
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P()
+    )
+    return jax.jit(mapped)
+
+
+def hom_histogram_sharded(mesh: Mesh, cov_u8, hom_mask):
+    return make_hom_histogram(mesh)(cov_u8, hom_mask)
