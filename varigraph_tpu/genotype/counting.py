@@ -19,19 +19,14 @@ import numpy as np
 
 from ..io.fastq import stream_read_batches
 from ..ops.kmer import sketch_codes
-from ..ops.table import KmerTable
+from ..ops.table import KmerTable, count_merge
 from ..utils.log import log
 
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
 def _count_batch(cov: jnp.ndarray, keys: jnp.ndarray, codes: jnp.ndarray, k: int):
     values, emit = sketch_codes(codes, k)
-    q = values.reshape(-1)
-    m = emit.reshape(-1)
-    idx = jnp.searchsorted(keys, q)
-    idx = jnp.minimum(idx, keys.shape[0] - 1)
-    found = (keys[idx] == q) & m
-    return cov.at[idx].add(found.astype(jnp.uint32), mode="drop")
+    return count_merge(cov, keys, values.reshape(-1), emit.reshape(-1))
 
 
 def count_reads(

@@ -55,6 +55,59 @@ def stream_records(path: str) -> Iterator[bytes]:
                 yield seq
 
 
+def stream_read_batches_native(
+    path: str,
+    batch_size: int,
+    max_len: int,
+    k: int,
+) -> Iterator[tuple[np.ndarray, int]] | None:
+    """Native (C++) batch streamer; returns None if the library is
+    unavailable.  Batches come from a background thread so gz decompression
+    and packing overlap device compute (double buffering)."""
+    import ctypes
+    import queue
+    import threading
+
+    from ..native.loader import get_fastq_lib
+
+    lib = get_fastq_lib()
+    if lib is None:
+        return None
+
+    def gen():
+        h = lib.vgf_open(path.encode())
+        if not h:
+            raise FileNotFoundError(f"'{path}': No such file or directory.")
+        q: queue.Queue = queue.Queue(maxsize=4)
+
+        def producer():
+            try:
+                while True:
+                    buf = np.full((batch_size, max_len), 4, dtype=np.uint8)
+                    bases = ctypes.c_long(0)
+                    rows = lib.vgf_next_batch(
+                        h,
+                        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                        batch_size, max_len, k, ctypes.byref(bases),
+                    )
+                    if rows == 0:
+                        break
+                    q.put((buf, int(bases.value)))
+            finally:
+                q.put(None)
+                lib.vgf_close(h)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+
+    return gen()
+
+
 def stream_read_batches(
     path: str,
     batch_size: int,
@@ -63,9 +116,14 @@ def stream_read_batches(
 ) -> Iterator[tuple[np.ndarray, int]]:
     """Yield ([B, max_len] uint8 code batches, base_count_in_batch).
 
-    The final batch is zero-padded (code 4) to the full batch shape so the
-    device kernel compiles once.
+    Uses the native C++ reader with background prefetch when available;
+    falls back to pure Python.  The final batch is padded (code 4) to the
+    full batch shape so the device kernel compiles once.
     """
+    native = stream_read_batches_native(path, batch_size, max_len, k)
+    if native is not None:
+        yield from native
+        return
     buf = np.full((batch_size, max_len), 4, dtype=np.uint8)
     row = 0
     bases = 0

@@ -30,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.kmer import sketch_codes
+from ..ops.table import count_merge
 
 
 def make_mesh(n_devices: int = 0, axis: str = "data") -> Mesh:
@@ -52,13 +53,8 @@ def make_count_batch_replicated(mesh: Mesh, k: int):
 
     def shard_fn(cov, keys, codes):
         values, emit = sketch_codes(codes, k)
-        q = values.reshape(-1)
-        m = emit.reshape(-1)
-        idx = jnp.searchsorted(keys, q)
-        idx = jnp.minimum(idx, keys.shape[0] - 1)
-        found = (keys[idx] == q) & m
-        delta = (
-            jnp.zeros_like(cov).at[idx].add(found.astype(jnp.uint32), mode="drop")
+        delta = count_merge(
+            jnp.zeros_like(cov), keys, values.reshape(-1), emit.reshape(-1)
         )
         delta = jax.lax.psum(delta, "data")
         return cov + delta
@@ -108,14 +104,9 @@ def make_count_batch_hash_sharded(mesh: Mesh, k: int):
 
     def shard_fn(cov_l, keys_l, codes):
         values, emit = sketch_codes(codes, k)
-        q = values.reshape(-1)
-        m = emit.reshape(-1)
-        q = jax.lax.all_gather(q, "data", tiled=True)
-        m = jax.lax.all_gather(m, "data", tiled=True)
-        idx = jnp.searchsorted(keys_l, q)
-        idx = jnp.minimum(idx, keys_l.shape[0] - 1)
-        found = (keys_l[idx] == q) & m
-        return cov_l.at[idx].add(found.astype(jnp.uint32), mode="drop")
+        q = jax.lax.all_gather(values.reshape(-1), "data", tiled=True)
+        msk = jax.lax.all_gather(emit.reshape(-1), "data", tiled=True)
+        return count_merge(cov_l, keys_l, q, msk)
 
     mapped = jax.shard_map(
         shard_fn,
