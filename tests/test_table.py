@@ -7,7 +7,9 @@ from varigraph_tpu.ops.table import KmerTable, pack_hapbits, unpack_hapbits
 
 def _rand_table(m=200, h=37, seed=0):
     rng = np.random.default_rng(seed)
+    # realistic k-mer encodings: hash<<8 | span (span byte < 32)
     keys = rng.choice(np.arange(1, 10 * m, dtype=np.uint64), size=m, replace=False)
+    keys = (keys << np.uint64(8)) | np.uint64(27)
     freq = rng.integers(1, 10, size=m, dtype=np.uint8)
     bits = rng.integers(0, 2, size=(m, h), dtype=np.uint8)
     refflag = rng.integers(0, 2, size=m, dtype=bool)
@@ -42,7 +44,7 @@ def test_lookup():
 def test_add_counts_and_saturation():
     keys, freq, bits, refflag, h = _rand_table(m=50)
     t = KmerTable.build(keys, freq, bits, refflag, h)
-    q = np.concatenate([keys[:10], keys[:10], np.array([999999], np.uint64)])
+    q = np.concatenate([keys[:10], keys[:10], np.array([(999999 << 8) | 27], np.uint64)])
     t.add_counts(q)
     cov = t.cov_u8()
     idx, _ = t.lookup(keys[:10])

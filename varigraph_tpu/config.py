@@ -44,8 +44,10 @@ class VarigraphConfig:
     engine: str = "jax"  # genotyping engine: "jax" (device) | "np" (host oracle)
 
     # ---- TPU / batching knobs (no reference counterpart) ----
-    read_batch_size: int = 65536  # reads per device batch
-    max_read_len: int = 256  # padded read length for device batches
+    # 16384x160 keeps the sort-merge join in its fast regime (~2.6M elements;
+    # larger sorts fall off a VMEM cliff on v5e)
+    read_batch_size: int = 16384  # reads per device batch
+    max_read_len: int = 160  # padded read length for device batches
     mesh_devices: int = 0  # 0 = all local devices
 
     # -------------------------------------------------------------- validation

@@ -75,6 +75,7 @@ def genotype_one_sample(
 
         results = genotype_jax(gi, cfg, hap_cov, cfg.seed)
 
+    os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{sample_name}.varigraph.vcf.gz")
     write_vcf(gi, results, sample_name, out_path, cfg.min_supporting_gq)
     return out_path

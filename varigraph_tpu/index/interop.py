@@ -1,0 +1,219 @@
+"""Interop: read the reference binary's graph.bin format.
+
+Parses the little-endian layout written by the reference's
+ConstructIndex::save_index (src/construct_index.cpp:760-902): header
+(graphBaseNum u64, kmerLen u32, vcfPloidy u32), VCF head + per-site column
+mirror with chromosome lengths, haplotype registry, graph nodes (allele
+sequences, per-haplotype GTs, k-mer hashes), then (kmerHash u64, c u8, f u8,
+bitVecLen u64, bits...) records to EOF.
+
+This lets a reference-built index be genotyped with this framework (and vice
+versa for cross-validation).  The reference format carries no per-node local
+haplotype bitmasks, so they are reconstructed by re-sketching each node's
+haplotype contexts -- exactly the computation the reference defers to
+genotype time (src/genotype.cpp:725-812).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..ops.kmer import pack_seqs, sketch_codes
+from ..ops.table import KmerTable
+from ..utils.log import log
+from .graph import GenomeGraph, VariantStats, find_node_up_down_seq
+from .structs import GraphIndex
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u8(self):
+        v = self.data[self.pos]
+        self.pos += 1
+        return v
+
+    def u16(self):
+        (v,) = struct.unpack_from("<H", self.data, self.pos)
+        self.pos += 2
+        return v
+
+    def u32(self):
+        (v,) = struct.unpack_from("<I", self.data, self.pos)
+        self.pos += 4
+        return v
+
+    def u64(self):
+        (v,) = struct.unpack_from("<Q", self.data, self.pos)
+        self.pos += 8
+        return v
+
+    def bytes_(self, n):
+        v = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+    def str_(self, n):
+        return self.bytes_(n).decode("utf-8")
+
+    def eof(self):
+        return self.pos >= len(self.data)
+
+
+def load_reference_graph_bin(path: str) -> GraphIndex:
+    log(f"Reference-format Genome Graph index loaded from file: {path}")
+    with open(path, "rb") as fh:
+        r = _Reader(fh.read())
+
+    graph_base_num = r.u64()
+    kmer_len = r.u32()
+    vcf_ploidy = r.u32()
+
+    # ---- VCF head + vcfInfoMap (with chromosome lengths) ----
+    vcf_head = r.str_(r.u32())
+    vcf_info: dict[str, dict[int, list[str]]] = {}
+    chrom_lens: dict[str, int] = {}
+    n_chr = r.u32()
+    for _ in range(n_chr):
+        chrom = r.str_(r.u32())
+        chrom_lens[chrom] = r.u32()
+        nstart = r.u32()
+        smap: dict[int, list[str]] = {}
+        for _ in range(nstart):
+            start = r.u32()
+            ninfo = r.u32()
+            smap[start] = [r.str_(r.u32()) for _ in range(ninfo)]
+        vcf_info[chrom] = smap
+
+    # ---- haplotype registry ----
+    hap_num = r.u16()
+    hap_names_map: dict[int, str] = {}
+    for _ in range(hap_num):
+        idx = r.u16()
+        hap_names_map[idx] = r.str_(r.u32())
+    hap_names = [hap_names_map[i] for i in range(hap_num)]
+
+    # ---- graph nodes ----
+    graph = GenomeGraph()
+    n_graph_chr = r.u32()
+    for _ in range(n_graph_chr):
+        chrom = r.str_(r.u32())
+        n_nodes = r.u32()
+        for _ in range(n_nodes):
+            start = r.u32()
+            node = graph.get_or_create(chrom, start)
+            n_seq = r.u32()
+            for _ in range(n_seq):
+                node.seqs.append(r.str_(r.u32()))
+            n_gt = r.u32()
+            node.hap_gt = list(
+                np.frombuffer(r.bytes_(2 * n_gt), dtype="<u2").astype(int)
+            )
+            n_km = r.u32()
+            node.kmer_hashes = (
+                np.frombuffer(r.bytes_(8 * n_km), dtype="<u8").tolist()
+            )
+            node.local_bits = []
+    graph.finalize()
+
+    # ---- global k-mer table ----
+    r.u64()  # ReadBase placeholder (construct_index.cpp:877-878)
+    keys, covs, freqs, flags, bit_rows_list = [], [], [], [], []
+    nbytes_expected = hap_num // 8 + 1
+    while not r.eof():
+        kh = r.u64()
+        c = r.u8()
+        f = r.u8()
+        blen = r.u64()
+        bits = np.frombuffer(r.bytes_(blen), dtype=np.uint8)
+        keys.append(kh)
+        covs.append(c)
+        freqs.append(f)
+        # last-byte bit 7 is the genome-wide ref flag
+        flags.append(bool(bits[-1] >> 7) if blen else False)
+        row = np.unpackbits(bits, bitorder="little")[:hap_num]
+        bit_rows_list.append(row)
+
+    m = len(keys)
+    keys_a = np.array(keys, np.uint64)
+    freq_a = np.array(freqs, np.uint8)
+    flag_a = np.array(flags, bool)
+    rows_a = (
+        np.stack(bit_rows_list) if m else np.zeros((0, hap_num), np.uint8)
+    )
+    table = KmerTable.build(keys_a, freq_a, rows_a, flag_a, hap_num)
+    # preserve any stored coverage (normally zero after construct)
+    if any(covs):
+        import jax.numpy as jnp
+
+        order = np.argsort(keys_a, kind="stable")
+        table.cov = jnp.asarray(np.array(covs, np.uint32)[order])
+
+    genome_size = sum(chrom_lens.values())
+    gi = GraphIndex(
+        kmer_len=kmer_len,
+        vcf_ploidy=vcf_ploidy,
+        graph_base_num=graph_base_num,
+        genome_size=genome_size,
+        hap_names=hap_names,
+        chrom_lens=chrom_lens,
+        vcf_head=vcf_head,
+        vcf_info=vcf_info,
+        graph=graph,
+        table=table,
+        stats=VariantStats(),
+    )
+    rebuild_local_bits(gi)
+    log(f"Total number of bases in the Genome Graph: {graph_base_num}")
+    log(f"Total number of k-mers present in the Genome Graph: {table.size}")
+    log(f"Total number of haplotypes present in the Genome Graph: {hap_num}")
+    return gi
+
+
+def rebuild_local_bits(gi: GraphIndex) -> None:
+    """Reconstruct per-node local haplotype bitmasks by re-sketching every
+    haplotype context (the computation the reference performs lazily during
+    genotyping, src/genotype.cpp:725-812)."""
+    import jax.numpy as jnp
+
+    k = gi.kmer_len
+    contexts: list[str] = []
+    meta: list[tuple[str, int, int]] = []  # (chrom, node_idx, haplotype)
+    for chrom in sorted(gi.graph.nodes.keys()):
+        starts = gi.graph.starts[chrom]
+        nodes = gi.graph.nodes[chrom]
+        for node_idx, node in enumerate(nodes):
+            if not node.is_variant or not node.kmer_hashes:
+                if node.is_variant:
+                    node.local_bits = []
+                continue
+            for hap in range(len(node.hap_gt)):
+                gt = node.hap_gt[hap]
+                if gt >= len(node.seqs):
+                    raise ValueError(
+                        f"Node '{chrom}-{node.start}' lacks sequence for GT {gt}"
+                    )
+                up, down, alt = find_node_up_down_seq(
+                    hap, gt, node.seqs[gt], k - 1, node_idx, starts, nodes
+                )
+                contexts.append(up + alt + down)
+                meta.append((chrom, node_idx, hap))
+
+    # device-batched sketch (same bucketing as the construct pipeline)
+    from .build import _sketch_contexts
+
+    ctx_kmers = _sketch_contexts(contexts, k)
+
+    per_node_sets: dict[tuple[str, int], dict[int, int]] = {}
+    for (chrom, node_idx, hap), kmers in zip(meta, ctx_kmers):
+        d = per_node_sets.setdefault((chrom, node_idx), {})
+        for kh in kmers.tolist():
+            d[kh] = d.get(kh, 0) | (1 << hap)
+
+    for (chrom, node_idx), d in per_node_sets.items():
+        node = gi.graph.nodes[chrom][node_idx]
+        node.local_bits = [d.get(kh, 0) for kh in node.kmer_hashes]

@@ -118,6 +118,14 @@ def save_graph(gi: GraphIndex, path: str) -> None:
 
 
 def load_graph(path: str) -> GraphIndex:
+    # auto-detect the reference binary's graph.bin format (not a zip)
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+    if magic != b"PK":
+        from .interop import load_reference_graph_bin
+
+        return load_reference_graph_bin(path)
+
     log(f"Genome Graph index loaded from file: {path}")
     z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["meta"]).decode("utf-8"))

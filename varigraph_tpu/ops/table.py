@@ -74,12 +74,14 @@ def count_merge(cov: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
     """
     m = keys.shape[0]
     q = jnp.where(mask, queries, _SENTINEL)
-    vals = jnp.concatenate([keys, q])
-    tag = jnp.concatenate(
-        [jnp.zeros((m,), jnp.int32), jnp.ones(q.shape, jnp.int32)]
-    )
-    vals_s, tag_s = jax.lax.sort((vals, tag), num_keys=2)
-    is_key = tag_s == 0
+    # Fold the key/query tag into bit 7 of the span byte (spans are 1..28, so
+    # bits 5-7 of the low byte are always clear): a single-operand u64 sort
+    # with keys tie-breaking before equal queries.
+    tag_bit = _U64(0x80)
+    vals = jnp.concatenate([keys, q | tag_bit])
+    vals_s = jax.lax.sort(vals)
+    is_key = (vals_s & tag_bit) == 0
+    vals_s = vals_s & ~tag_bit
     # equal-value run structure: keys are unique and tie-break first, so a
     # run contains at most one key and it sits at the run start.  Everything
     # below is int32 cumsum/cummax -- cheap native scans.

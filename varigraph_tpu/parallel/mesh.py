@@ -83,7 +83,10 @@ def shard_table_arrays(mesh: Mesh, keys: np.ndarray, cov: np.ndarray):
     m = len(keys)
     pad = (-m) % n
     if pad:
-        keys = np.concatenate([keys, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))])
+        # pad value: sorts last, low "span" byte 0x1F is never a real k-mer
+        # span and keeps bit 7 clear (count_merge uses bit 7 as the
+        # key/query tag)
+        keys = np.concatenate([keys, np.full(pad, np.uint64(0xFFFFFFFFFFFFFF1F))])
         cov = np.concatenate([cov, np.zeros(pad, cov.dtype)])
     sharding = NamedSharding(mesh, P("data"))
     return (
