@@ -73,6 +73,12 @@ def _add_genotype(sub):
                    help="genotyping engine: device (jax) or host oracle (np)")
     p.add_argument("--out-dir", default=".", metavar="DIR",
                    help="output directory for <sample>.varigraph.vcf.gz [.]")
+    p.add_argument("--save-counts", default="", metavar="FILE",
+                   help="save the counted-reads state after counting "
+                        "(single-sample runs)")
+    p.add_argument("--load-counts", default="", metavar="FILE",
+                   help="load a counted-reads state and skip counting "
+                        "(single-sample runs)")
     p.add_argument("-t", "--threads", type=int, default=10, metavar="INT")
     p.add_argument("-D", "--debug", action="store_true")
     return p
@@ -128,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg.min_supporting_gq = args.min_support
         cfg.use_depth = args.use_depth
         cfg.seed = args.seed
+        cfg.save_counts_file = args.save_counts
+        cfg.load_counts_file = args.load_counts
         if args.engine:
             cfg.engine = args.engine
         cfg.threads = max(args.threads, 1)

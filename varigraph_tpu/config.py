@@ -49,6 +49,9 @@ class VarigraphConfig:
     read_batch_size: int = 16384  # reads per device batch
     max_read_len: int = 160  # padded read length for device batches
     mesh_devices: int = 0  # 0 = all local devices
+    # counted-reads checkpoint (single-sample runs): skip or persist counting
+    load_counts_file: str = ""
+    save_counts_file: str = ""
 
     # -------------------------------------------------------------- validation
     def validate_construct(self) -> None:

@@ -330,6 +330,10 @@ class _WindowEngine:
         if not node_ids:
             return
 
+        import sys
+
+        debug = getattr(cfg, "debug", False)
+
         obs_list = []
         meta = []
         for i in node_ids:
@@ -337,6 +341,14 @@ class _WindowEngine:
             obs, active, local, f_raw = self.node_observations(node)
             obs_list.append(obs)
             meta.append((i, node, active, f_raw))
+            if debug:
+                # reference -D traces (genotype.cpp:298-312,333-342)
+                sys.stderr.write(f"start:{node.start}\n")
+                for si, s in enumerate(self.states):
+                    sys.stderr.write(
+                        "hap:" + "/".join(map(str, s))
+                        + f" observableStates:{obs[si]:.6g}\n"
+                    )
 
         rec_mode = cfg.transition_pro_type == "rec"
 
@@ -366,6 +378,12 @@ class _WindowEngine:
             alphas.append(alpha)
             pre_alpha = alpha
             pre_end = end
+            if debug:  # genotype.cpp:356-369
+                sys.stderr.write(f"start:{start}\n")
+                for si, s in enumerate(self.states):
+                    sys.stderr.write(
+                        "hap:" + "/".join(map(str, s)) + f" Alpha:{alpha[si]:.6g}\n"
+                    )
 
         # ---- backward (genotype.cpp:383-473,1276-1357) ----
         betas: list = [None] * len(node_ids)
@@ -389,6 +407,12 @@ class _WindowEngine:
             betas[pos] = beta
             pre_beta = beta
             pre_start = start
+            if debug:  # genotype.cpp:455-467
+                for si, s in enumerate(self.states):
+                    sys.stderr.write(
+                        f"start:{start} genotype:" + "/".join(map(str, s))
+                        + f" Beta:{beta[si]:.6g}\n"
+                    )
 
         # ---- posterior (genotype.cpp:476-497,1371-1546) ----
         for pos, (i, node, active, f_raw) in enumerate(meta):

@@ -42,17 +42,54 @@ def parse_sample_config(path: str) -> list[tuple[str, list[str]]]:
     return out
 
 
+def save_counts(gi: GraphIndex, path: str, read_base: int) -> None:
+    """Persist the counted-reads state (the analog of the reference's unused
+    FastqKmer::save_index checkpoint, src/fastq_kmer.cpp:200-298)."""
+    import numpy as np
+
+    log(f"Reads index saved to file: {path}", func="save_counts")
+    with open(path, "wb") as fh:
+        np.savez_compressed(fh, cov=np.asarray(gi.table.cov),
+                            keys=gi.table.keys_np()[:8],
+                            read_base=np.uint64(read_base))
+
+
+def load_counts(gi: GraphIndex, path: str) -> int:
+    """Load a counted-reads checkpoint; returns the stored read-base total."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    log(f"Reads index loaded from file: {path}", func="load_counts")
+    z = np.load(path)
+    cov = z["cov"]
+    if len(cov) != gi.table.size:
+        raise ValueError(
+            f"counts checkpoint does not match the graph (table size "
+            f"{gi.table.size} vs {len(cov)})"
+        )
+    gi.table.cov = jnp.asarray(cov)
+    return int(z["read_base"])
+
+
 def genotype_one_sample(
     gi: GraphIndex,
     cfg: VarigraphConfig,
     sample_name: str,
     fastq_files: list[str],
     out_dir: str = ".",
+    counts_in: str | None = None,
+    counts_out: str | None = None,
 ) -> str:
     """Count + genotype one sample; returns the output VCF path."""
-    read_base = count_reads(
-        gi.table, fastq_files, gi.kmer_len, cfg.read_batch_size, cfg.max_read_len
-    )
+    if counts_in:
+        read_base = load_counts(gi, counts_in)
+    else:
+        read_base = count_reads(
+            gi.table, fastq_files, gi.kmer_len, cfg.read_batch_size,
+            cfg.max_read_len,
+        )
+        if counts_out:
+            save_counts(gi, counts_out, read_base)
     read_depth = read_base / float(gi.genome_size)
 
     cov_u8 = gi.table.cov_u8()
@@ -68,6 +105,10 @@ def genotype_one_sample(
 
     log("Genotyping ...", func="genotype")
     log("Applying forward and backward algorithm ...", func="genotype")
+    if cfg.debug and cfg.engine != "np":
+        log("Debug mode: using the host oracle engine for verbose traces.",
+            func="genotype")
+        cfg.engine = "np"
     if cfg.engine == "np":
         results = genotype_np(gi, cfg, hap_cov, cfg.seed)
     else:
@@ -94,10 +135,15 @@ def run_genotype(cfg: VarigraphConfig, out_dir: str = ".") -> list[str]:
     graph2node(gi)
 
     outputs = []
+    single = len(samples) == 1
     for sample_name, fastq_files in samples:
         log(f"Processing sample: {sample_name}", func="fastq_genotype")
         outputs.append(
-            genotype_one_sample(gi, cfg, sample_name, fastq_files, out_dir)
+            genotype_one_sample(
+                gi, cfg, sample_name, fastq_files, out_dir,
+                counts_in=getattr(cfg, "load_counts_file", None) if single else None,
+                counts_out=getattr(cfg, "save_counts_file", None) if single else None,
+            )
         )
         log(f"Sample: {sample_name} has been processed.", func="fastq_genotype")
         gi.table.reset_cov()

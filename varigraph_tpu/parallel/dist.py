@@ -1,0 +1,53 @@
+"""Multi-host initialization (jax.distributed) and global mesh helpers.
+
+The reference is strictly single-process (SURVEY.md section 2.8); this is the
+new first-class distributed layer.  Topology: every host streams its own
+slice of the FASTQ inputs (files are assigned round-robin per process), the
+k-mer table is replicated (or hash-sharded, parallel/mesh.py) across all
+devices, and per-shard count deltas merge with psum over the global mesh --
+collectives ride ICI within a slice and DCN across hosts.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from ..utils.log import log
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Initialize jax.distributed for multi-host runs.
+
+    With no arguments, relies on the environment (TPU pod runtime autodetects
+    coordinator/process topology).  Safe to call once per process before any
+    device computation.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    log(
+        f"distributed initialized: process {jax.process_index()}/"
+        f"{jax.process_count()}, {jax.local_device_count()} local / "
+        f"{jax.device_count()} global devices"
+    )
+
+
+def global_mesh(axis: str = "data") -> Mesh:
+    """1-D mesh over all global devices (all hosts)."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def assign_files_to_process(files: list[str]) -> list[str]:
+    """Round-robin FASTQ file assignment per host process."""
+    pid = jax.process_index()
+    n = jax.process_count()
+    return [f for i, f in enumerate(files) if i % n == pid]
