@@ -152,5 +152,14 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def run() -> int:
+    """Entry point with the reference's log-and-exit(1) error policy."""
+    try:
+        return main()
+    except (ValueError, FileNotFoundError, OSError) as e:
+        log(f"Error: {e}", func="main")
+        return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())
