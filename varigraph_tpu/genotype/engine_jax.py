@@ -305,13 +305,9 @@ class _WindowPrep:
             self.flag[ni, :kk] = refflag[act]
             self.kmask[ni, :kk] = True
             self.bits_u[ni, :kk] = bit_rows[act][:, self.used_haps]
-            local = [b for b, k2 in zip(node.local_bits_capped, keep) if k2]
-            nbytes = (nhap + 7) // 8
-            lb = np.zeros((kk, nbytes), np.uint8)
-            for kj, b in enumerate(local):
-                if b:
-                    lb[kj] = np.frombuffer(b.to_bytes(nbytes, "little"), np.uint8)
-            unpacked = np.unpackbits(lb, axis=1, bitorder="little")
+            unpacked = np.unpackbits(
+                node.local_packed[keep], axis=1, bitorder="little"
+            )
             self.local_u[ni, :kk] = unpacked[:, self.used_haps]
             for uj, hp in enumerate(self.used_haps):
                 self.gt0_u[ni, uj] = (

@@ -81,20 +81,20 @@ def graph2node(gi: GraphIndex, max_kmers: int = 128) -> None:
                 continue
             if not node.kmer_hashes:
                 node.table_idx = np.empty(0, np.int64)
-                node.local_bits_capped = []
+                node.local_packed = np.zeros((0, 1), np.uint8)
                 continue
             h = np.asarray(node.kmer_hashes, dtype=np.uint64)
             idx = np.searchsorted(keys, h)
             idx = np.minimum(idx, len(keys) - 1)
             found = keys[idx] == h
             idx = idx[found]
-            lb = [b for b, ok in zip(node.local_bits, found) if ok]
+            lb = node.local_bits[found]
             if len(idx) > max_kmers:
                 order = np.argsort(freq[idx], kind="stable")[:max_kmers]
                 idx = idx[order]
-                lb = [lb[i] for i in order]
+                lb = lb[order]
             node.table_idx = idx
-            node.local_bits_capped = lb
+            node.local_packed = lb  # packed uint8 [n_kmers, ceil(nhap/8)]
 
 
 def transition_probabilities(node_distance: int, nhap: int):
@@ -223,11 +223,11 @@ class _WindowEngine:
         if len(idx):
             keep = bits[:, self.top_hap].any(axis=1)
             active = idx[keep]
-            local = [b for b, k2 in zip(node.local_bits_capped, keep) if k2]
+            local = node.local_packed[keep]
             bits = bits[keep]
         else:
             active = idx
-            local = []
+            local = np.zeros((0, 1), np.uint8)
 
         K = len(active)
         c = self.cov_u8[active].astype(np.int64)
@@ -265,10 +265,10 @@ class _WindowEngine:
         # k-mer at this node
         if need and K:
             verify_k = (c <= self.lower) & (f >= 2)
-            local_arr = np.array(
-                [[(b >> hp) & 1 for hp in used_haps] for b in local],
-                dtype=np.int64,
-            ) if local else np.zeros((K, len(used_haps)), np.int64)
+            unpacked = np.unpackbits(local, axis=1, bitorder="little")
+            local_arr = unpacked[:, used_haps].astype(np.int64) if K else (
+                np.zeros((K, len(used_haps)), np.int64)
+            )
             hp_col = {hp: i for i, hp in enumerate(used_haps)}
             for si, s in enumerate(self.states):
                 decr = np.zeros(K, dtype=np.int64)

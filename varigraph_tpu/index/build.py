@@ -143,11 +143,12 @@ def _sketch_contexts(contexts: list[str], k: int) -> list[np.ndarray]:
 
 def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
                 nhap: int, vcf_ploidy: int, fast_mode: bool,
-                use_unique_kmers: bool) -> dict[int, list]:
-    """Build per-node k-mer sets and the global k-mer dictionary.
+                use_unique_kmers: bool):
+    """Build per-node k-mer sets and the global k-mer arrays.
 
-    Returns the global dict: hash -> [f, hapbits_int, refflag_bool].
-    Side effect: fills node.kmer_hashes and node.local_bits.
+    Returns (keys u64, freq u8, hapbit_rows [M, nhap] u8, refflag bool),
+    unsorted.  Side effect: fills node.kmer_hashes and node.local_bits
+    (packed uint8 [n_kmers, ceil(nhap/8)]).
     """
     log("Initiating the construction of the graph index ...")
 
@@ -202,84 +203,107 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     uniq_counts = bf.count(uniq_kmers) if len(uniq_kmers) else np.empty(0, np.uint8)
     count_of = dict(zip(uniq_kmers.tolist(), uniq_counts.tolist()))
 
-    # ---- per-node aggregation ----
-    # node_agg[task_id]: (bits: {kmer: int_mask}, flag: {kmer: bool},
-    #                     min_fre: int, fre_of: {kmer: freq})
-    per_node_bits: list[dict[int, int]] = [dict() for _ in tasks]
-    per_node_flag: list[set[int]] = [set() for _ in tasks]
-    per_node_minfre: list[int] = [255] * len(tasks)
-
+    # ---- vectorized per-node aggregation + global merge ----
+    # Flat entry arrays: one row per (context, kmer) occurrence.
+    nbytes = (nhap + 7) // 8
+    e_task, e_hap, e_gt, e_kh = [], [], [], []
     for (task_id, haplotype, gt), kmers in zip(ctx_meta, ctx_kmers):
         if not len(kmers):
             continue
-        bits = per_node_bits[task_id]
-        flags = per_node_flag[task_id]
-        hap_bit = 1 << haplotype
-        minfre = per_node_minfre[task_id]
-        for kh in kmers.tolist():
-            fre = count_of[kh]
-            if fre < minfre:
-                minfre = fre
-            prev = bits.get(kh, 0)
-            bits[kh] = prev | hap_bit
-            # ref flag: genome k-mer carried by a non-REF allele whose REF
-            # path (haplotype 0, processed first) lacks it
-            # (construct_index.cpp:1211-1215)
-            if gt != 0 and fre >= 1 and (bits[kh] & 1) == 0:
-                flags.add(kh)
-        per_node_minfre[task_id] = minfre
+        e_task.append(np.full(len(kmers), task_id, np.int64))
+        e_hap.append(np.full(len(kmers), haplotype, np.int32))
+        e_gt.append(np.full(len(kmers), gt, np.int32))
+        e_kh.append(kmers)
+    if not e_kh:
+        for _, _, node in tasks:
+            node.kmer_hashes = []
+            node.local_bits = np.zeros((0, nbytes), np.uint8)
+        return (np.empty(0, np.uint64), np.empty(0, np.uint8),
+                np.zeros((0, nhap), np.uint8), np.empty(0, bool))
+    e_task = np.concatenate(e_task)
+    e_hap = np.concatenate(e_hap)
+    e_gt = np.concatenate(e_gt)
+    e_kh = np.concatenate(e_kh)
+    e_fre = uniq_counts[np.searchsorted(uniq_kmers, e_kh)].astype(np.int64)
 
-    # ---- keep rule + global merge (node submission order) ----
-    global_map: dict[int, list] = {}  # hash -> [f, bits_int, refflag]
-    total_tasks = len(tasks)
+    # sort entries by (task, kmer); group = unique (task, kmer) pair
+    order = np.lexsort((e_kh, e_task))
+    e_task, e_hap, e_gt, e_kh, e_fre = (
+        e_task[order], e_hap[order], e_gt[order], e_kh[order], e_fre[order]
+    )
+    new_pair = np.empty(len(e_kh), bool)
+    new_pair[0] = True
+    new_pair[1:] = (e_task[1:] != e_task[:-1]) | (e_kh[1:] != e_kh[:-1])
+    starts = np.flatnonzero(new_pair)
+
+    # per-pair haplotype bitmask: OR of one-hot byte rows within each group
+    one_hot = np.zeros((len(e_kh), nbytes), np.uint8)
+    one_hot[np.arange(len(e_kh)), e_hap >> 3] = (1 << (e_hap & 7)).astype(np.uint8)
+    pair_bits = np.bitwise_or.reduceat(one_hot, starts, axis=0)
+    pair_task = e_task[starts]
+    pair_kh = e_kh[starts]
+    pair_fre = e_fre[starts]
+    # ref flag (construct_index.cpp:1211-1215): genome k-mer carried by a
+    # non-REF allele whose REF-path (haplotype 0) context lacks it.
+    has_alt = np.logical_or.reduceat(e_gt != 0, starts)
+    has_hap0 = np.logical_or.reduceat(e_hap == 0, starts)
+    pair_flag = has_alt & (pair_fre >= 1) & ~has_hap0
+
+    # per-task minimum CBF frequency -> keep rule
+    ntasks = len(tasks)
+    minfre = np.full(ntasks, 255, np.int64)
+    np.minimum.at(minfre, pair_task, pair_fre)
+    if use_unique_kmers:
+        minfre[:] = 1
+    else:
+        minfre[minfre == 0] = 1
+    kept_mask = pair_fre <= minfre[pair_task]
+
+    k_task = pair_task[kept_mask]
+    k_kh = pair_kh[kept_mask]
+    k_bits = pair_bits[kept_mask]
+    k_flag = pair_flag[kept_mask]
+    k_fre = pair_fre[kept_mask]
+
+    # write per-node kept k-mers (already sorted by hash within each task)
+    node_starts = np.searchsorted(k_task, np.arange(ntasks + 1))
     for task_id, (chrom, node_idx, node) in enumerate(tasks):
-        minfre = per_node_minfre[task_id]
-        if minfre == 0 or use_unique_kmers:
-            minfre = 1
-        bits = per_node_bits[task_id]
-        flags = per_node_flag[task_id]
-        kept = [kh for kh in bits if count_of[kh] <= minfre]
-        kept.sort()
-        node.kmer_hashes = kept
-        node.local_bits = [bits[kh] for kh in kept]
-        for kh in kept:
-            entry = global_map.get(kh)
-            flag = kh in flags
-            if entry is None:
-                global_map[kh] = [1, bits[kh], flag]
-            else:
-                entry[1] |= bits[kh]
-                entry[2] |= flag
-                if entry[0] < 255:
-                    entry[0] += 1
-        # fold CBF frequencies >= 2 for single-node k-mers
-        # (construct_index.cpp:670-681)
-        for kh in kept:
-            fre = count_of[kh]
-            if fre >= 2:
-                entry = global_map[kh]
-                if entry[0] == 1:
-                    entry[0] += fre - 1
-        if total_tasks >= 20 and (task_id + 1) % (total_tasks // 20) == 0:
-            log(f"Indexing progress: {100.0 * (task_id + 1) / total_tasks:3.0f}%")
+        lo, hi = node_starts[task_id], node_starts[task_id + 1]
+        node.kmer_hashes = k_kh[lo:hi].tolist()
+        node.local_bits = k_bits[lo:hi].copy()
 
-    return global_map
+    # ---- global merge, closed form ----
+    # The reference merges node results sequentially (construct_index.cpp:
+    # 637-690): f increments once per node (saturating at 255), and right
+    # after a k-mer's FIRST node the CBF frequency >= 2 is folded in while
+    # f == 1 (:670-681).  For a k-mer in n nodes with CBF count c this
+    # yields exactly f = min(255, (c if c >= 2 else 1) + n - 1).
+    korder = np.argsort(k_kh, kind="stable")
+    s_kh = k_kh[korder]
+    s_bits = k_bits[korder]
+    s_flag = k_flag[korder]
+    s_fre = k_fre[korder]
+    kfirst = np.empty(len(s_kh), bool)
+    if len(s_kh):
+        kfirst[0] = True
+        kfirst[1:] = s_kh[1:] != s_kh[:-1]
+    kstarts = np.flatnonzero(kfirst)
+    g_kh = s_kh[kstarts]
+    g_n = np.diff(np.append(kstarts, len(s_kh)))
+    g_fre = s_fre[kstarts]  # CBF count, identical across a k-mer's nodes
+    g_bits = np.bitwise_or.reduceat(s_bits, kstarts, axis=0)
+    g_flag = np.logical_or.reduceat(s_flag, kstarts)
+    base = np.where(g_fre >= 2, g_fre, 1)
+    g_f = np.minimum(base + g_n - 1, 255)
+
+    log("Indexing progress: 100%")
+    rows = np.unpackbits(g_bits, axis=1, bitorder="little")[:, :nhap]
+    return g_kh, g_f.astype(np.uint8), rows, g_flag
 
 
-def build_kmer_table(global_map: dict[int, list], nhap: int) -> KmerTable:
-    """Global dict -> dense sorted device table."""
-    m = len(global_map)
-    keys = np.fromiter(global_map.keys(), dtype=np.uint64, count=m)
-    freq = np.zeros(m, np.uint8)
-    refflag = np.zeros(m, bool)
-    nbytes = (nhap + 7) // 8
-    bit_bytes = np.zeros((m, nbytes), np.uint8)
-    for i, (f, bits, flag) in enumerate(global_map.values()):
-        freq[i] = f
-        refflag[i] = flag
-        if bits:
-            bit_bytes[i] = np.frombuffer(bits.to_bytes(nbytes, "little"), np.uint8)
-    bit_rows = np.unpackbits(bit_bytes, axis=1, bitorder="little")[:, :nhap]
+def build_kmer_table(arrays, nhap: int) -> KmerTable:
+    """(keys, freq, hapbit_rows, refflag) arrays -> sorted device table."""
+    keys, freq, bit_rows, refflag = arrays
     return KmerTable.build(keys, freq, bit_rows, refflag, nhap)
 
 
@@ -296,11 +320,11 @@ def construct_graph_index(config: VarigraphConfig) -> GraphIndex:
             fh, fasta_map, config.vcf_ploidy
         )
 
-    global_map = index_graph(
+    arrays = index_graph(
         graph, bf, config.kmer_len, len(hap_names), config.vcf_ploidy,
         config.fast_mode, config.use_unique_kmers,
     )
-    table = build_kmer_table(global_map, len(hap_names))
+    table = build_kmer_table(arrays, len(hap_names))
 
     gi = GraphIndex(
         kmer_len=config.kmer_len,

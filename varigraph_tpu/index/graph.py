@@ -32,7 +32,8 @@ class Node:
     hap_gt: list[int] = field(default_factory=list)
     # filled by the indexing phase:
     kmer_hashes: list[int] = field(default_factory=list)  # encoded k-mers
-    local_bits: list[int] = field(default_factory=list)   # per-kmer hap bitmask
+    # per-kmer haplotype-presence bitmask, packed uint8 [n_kmers, ceil(H/8)]
+    local_bits: object = field(default_factory=list)
 
     @property
     def is_variant(self) -> bool:

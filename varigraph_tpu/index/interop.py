@@ -208,12 +208,18 @@ def rebuild_local_bits(gi: GraphIndex) -> None:
 
     ctx_kmers = _sketch_contexts(contexts, k)
 
-    per_node_sets: dict[tuple[str, int], dict[int, int]] = {}
+    nbytes = (gi.nhap + 7) // 8
+    for chrom in gi.graph.nodes:
+        for node in gi.graph.nodes[chrom]:
+            if node.is_variant:
+                node.local_bits = np.zeros(
+                    (len(node.kmer_hashes), nbytes), np.uint8
+                )
     for (chrom, node_idx, hap), kmers in zip(meta, ctx_kmers):
-        d = per_node_sets.setdefault((chrom, node_idx), {})
-        for kh in kmers.tolist():
-            d[kh] = d.get(kh, 0) | (1 << hap)
-
-    for (chrom, node_idx), d in per_node_sets.items():
         node = gi.graph.nodes[chrom][node_idx]
-        node.local_bits = [d.get(kh, 0) for kh in node.kmer_hashes]
+        if not len(node.kmer_hashes) or not len(kmers):
+            continue
+        present = np.isin(
+            np.asarray(node.kmer_hashes, np.uint64), kmers
+        )
+        node.local_bits[present, hap >> 3] |= np.uint8(1 << (hap & 7))

@@ -27,18 +27,6 @@ _MAGIC = "varigraph-tpu-graph"
 _VERSION = 1
 
 
-def _bits_to_bytes(bits: list[int], nbytes: int) -> np.ndarray:
-    out = np.zeros((len(bits), nbytes), np.uint8)
-    for i, b in enumerate(bits):
-        if b:
-            out[i] = np.frombuffer(b.to_bytes(nbytes, "little"), np.uint8)
-    return out
-
-
-def _bytes_to_bits(rows: np.ndarray) -> list[int]:
-    return [int.from_bytes(r.tobytes(), "little") for r in rows]
-
-
 def save_graph(gi: GraphIndex, path: str) -> None:
     log(f"Genome Graph index saved to file: {path}")
     chroms = sorted(gi.graph.nodes.keys())
@@ -70,8 +58,10 @@ def save_graph(gi: GraphIndex, path: str) -> None:
             local_bits_rows.append(n.local_bits)
 
     nbytes = (gi.nhap + 7) // 8
-    local_bits_all = [b for row in local_bits_rows for b in row]
-    local_bits_arr = _bits_to_bytes(local_bits_all, nbytes)
+    non_empty = [r for r in local_bits_rows if len(r)]
+    local_bits_arr = (
+        np.vstack(non_empty) if non_empty else np.zeros((0, nbytes), np.uint8)
+    )
 
     # VCF info mirror as a compressed text blob
     vcf_lines = []
@@ -172,9 +162,7 @@ def load_graph(path: str) -> GraphIndex:
             si += 1
         node.hap_gt = gt_flat[gt_off[i] : gt_off[i + 1]].astype(int).tolist()
         node.kmer_hashes = kmer_flat[km_off[i] : km_off[i + 1]].tolist()
-        node.local_bits = _bytes_to_bits(
-            local_bits_arr[km_off[i] : km_off[i + 1]]
-        )
+        node.local_bits = local_bits_arr[km_off[i] : km_off[i + 1]].copy()
     graph.finalize()
 
     import jax.numpy as jnp
