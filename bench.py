@@ -121,13 +121,15 @@ def bench_ours(paths):
     thr = total_kmers / dt
     log(f"device counting: {dt:.3f}s -> {thr/1e6:.1f}M kmers/s")
 
-    # end-to-end including streaming+packing, for the record
-    cov2 = jnp.zeros_like(gi.table.cov)
+    # end-to-end including streaming+packing, for the record (uses the
+    # production count_reads path: native reader prefetch + pipelined
+    # accumulators)
+    from varigraph_tpu.genotype.counting import count_reads
+
+    gi.table.reset_cov()
     t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        for codes, _ in stream_read_batches(paths["fq"], batch_size, max_len, K):
-            cov2 = _count_batch(cov2, keys, jnp.asarray(codes), K)
-    cov2.block_until_ready()
+    count_reads(gi.table, [paths["fq"]] * REPEATS, K, batch_size, max_len)
+    gi.table.cov.block_until_ready()
     dt2 = time.perf_counter() - t0
     thr2 = total_kmers / dt2
     log(f"end-to-end (incl. gz streaming): {dt2:.3f}s -> {thr2/1e6:.1f}M kmers/s")

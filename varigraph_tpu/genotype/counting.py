@@ -29,6 +29,10 @@ def _count_batch(cov: jnp.ndarray, keys: jnp.ndarray, codes: jnp.ndarray, k: int
     return count_merge(cov, keys, values.reshape(-1), emit.reshape(-1))
 
 
+_N_ACCUMULATORS = 3  # round-robin coverage buffers so batch n+1's sort can
+                     # start while batch n's scatter is still in flight
+
+
 def count_reads(
     table: KmerTable,
     fastq_files: list[str],
@@ -39,11 +43,34 @@ def count_reads(
     """Stream all files, count k-mers into table.cov.  Returns total bases."""
     read_base = 0
     nbatches = 0
+
+    # multi-device: shard each batch across the mesh, psum the count deltas
+    # (parallel/mesh.py); single device uses the donated fused step
+    n_dev = jax.local_device_count()
+    mesh_step = None
+    if n_dev > 1 and batch_size % n_dev == 0:
+        from ..parallel.mesh import make_count_batch_replicated, make_mesh
+
+        mesh_step = make_count_batch_replicated(make_mesh(n_dev), k)
+        log(f"counting data-parallel over {n_dev} devices", func="count_reads")
+
+    accs = [table.cov] + [
+        jnp.zeros_like(table.cov) for _ in range(_N_ACCUMULATORS - 1)
+    ]
     for path in fastq_files:
         log(f"Collecting kmers from read on device: {path}", func="count_reads")
         for codes, bases in stream_read_batches(path, batch_size, max_len, k):
-            table.cov = _count_batch(table.cov, table.keys, jnp.asarray(codes), k)
+            slot = nbatches % _N_ACCUMULATORS
+            if mesh_step is not None:
+                accs[slot] = mesh_step(accs[slot], table.keys, jnp.asarray(codes))
+            else:
+                accs[slot] = _count_batch(accs[slot], table.keys,
+                                          jnp.asarray(codes), k)
             read_base += bases
             nbatches += 1
+    cov = accs[0]
+    for extra in accs[1:]:
+        cov = cov + extra
+    table.cov = cov
     log(f"Processed {nbatches} batches, {read_base / 1e9:.2f} Gb", func="count_reads")
     return read_base

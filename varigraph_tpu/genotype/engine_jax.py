@@ -393,11 +393,12 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int
     if not preps:
         return results
 
-    # pad to common shapes
+    # pad to common shapes (all axes power-of-two so shapes are reused
+    # across runs with different window/state counts)
     S = _pow2(max(len(p_.states) for p_ in preps), 4)
     U = _pow2(max(len(p_.used_haps) for p_ in preps), 4)
     N = _pow2(max(len(p_.node_refs) for p_ in preps), 8)
-    W = len(preps)
+    W = _pow2(len(preps), 1)
     K = MAX_NODE_KMERS
     P = cfg.sample_ploidy
 

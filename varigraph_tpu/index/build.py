@@ -42,8 +42,12 @@ from .structs import GraphIndex
 
 import jax.numpy as jnp
 
-# feed the genome to the device sketch in chunks of this many bases
-_GENOME_CHUNK = 32 * 1024 * 1024
+# the genome is scanned as row-segmented batches of this fixed shape
+# (matching the read-counting batch shape, so the sketch kernel compiles
+# once for the whole framework); rows overlap by k-1 so every window is
+# emitted exactly once
+_GENOME_ROWS = 16384
+_GENOME_COLS = 160
 # context batch: cap padded batch area (rows x padded len)
 _CTX_BATCH_AREA = 8 * 1024 * 1024
 
@@ -56,6 +60,45 @@ def _open_text(path: str):
     return open(path, "rt")
 
 
+def segment_genome_batches(seq: str, k: int,
+                           rows: int = _GENOME_ROWS,
+                           cols: int = _GENOME_COLS):
+    """Slice a chromosome into fixed-shape [rows, cols] code batches with
+    k-1 row overlap (padding code 4).
+
+    For odd k no k-mer can equal its own reverse complement (the middle base
+    would have to be self-complementary), so the rolling scan's warmup is
+    exactly k-1 bases and row segmentation emits every window exactly once --
+    identical to one continuous scan.  (For even k, a palindromic window
+    inside a row's warmup could in principle shift emissions relative to a
+    continuous scan; the CBF count of such boundary windows may then differ
+    by one.)
+    """
+    from ..ops.sketch_ref import encode_bases_np
+
+    codes = encode_bases_np(seq)
+    n = len(codes)
+    step = cols - (k - 1)
+    if n == 0:
+        return
+    buf = np.full((rows, cols), 4, dtype=np.uint8)
+    row = 0
+    start = 0
+    while start < n:
+        seg = codes[start : start + cols]
+        buf[row, : len(seg)] = seg
+        row += 1
+        if row == rows:
+            yield buf
+            buf = np.full((rows, cols), 4, dtype=np.uint8)
+            row = 0
+        if start + cols >= n:
+            break
+        start += step
+    if row > 0:
+        yield buf
+
+
 def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
                     seed: int) -> CountingBloomFilter:
     """Count k-mer frequencies of the reference genome into a CBF
@@ -65,32 +108,9 @@ def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
     from ..ops.sketch_ref import encode_bases_np
 
     for chrom, seq in fasta_map.items():
-        codes_full = encode_bases_np(seq)
-        n = len(codes_full)
-        start = 0
-        while start < n:
-            # overlap k-1 so windows at the boundary are preserved; the warmup
-            # counter re-warms within the overlap for any realistic sequence
-            end = min(start + _GENOME_CHUNK, n)
-            lo = max(0, start - (k - 1))
-            chunk = codes_full[lo:end]
-            # pad to a power of two (code 4 = ambiguous, never emits) to
-            # bound XLA recompilation across chromosomes/chunks
-            pad_len = 4096
-            while pad_len < len(chunk):
-                pad_len *= 2
-            if pad_len != len(chunk):
-                chunk = np.concatenate(
-                    [chunk, np.full(pad_len - len(chunk), 4, np.uint8)]
-                )
-            values, emit = sketch_codes(jnp.asarray(chunk), k)
-            if lo < start:
-                # drop re-emissions of windows already counted by the
-                # previous chunk (windows ending before 'start')
-                emit = np.asarray(emit).copy()
-                emit[: start - lo] = False
+        for batch in segment_genome_batches(seq, k):
+            values, emit = sketch_codes(jnp.asarray(batch), k)
             bf.add(values, emit)
-            start = end
         log(f"Chromosome '{chrom}' processed successfully ...")
 
     log("Counting Bloom Filter constructed successfully ...")
