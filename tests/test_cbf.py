@@ -53,15 +53,15 @@ def test_murmur_closed_form_matches_oracle():
 
 
 def test_sizing_formulas():
-    # n=1000, p=0.01: m = ceil(1000*ln(.01)/ln(1/2^ln2)) = 9585, kh = 7
+    # n=1000, p=0.01: exact m = ceil(1000*ln(.01)/ln(1/2^ln2))
     n, p = 1000, 0.01
-    m = cbf_size(n, p)
-    assert m == 9586 or m == 9585  # allow rounding edge; lock the value below
     import math
     expected = math.ceil((n * math.log(p)) / math.log(1.0 / math.pow(2.0, math.log(2.0))))
-    assert m == expected
-    kh = cbf_num_hashes(n, m)
-    assert kh == round(m * math.log(2.0) / n)
+    assert cbf_size(n, p) == expected
+    bf = CountingBloomFilter(n=n, p=p, seed=0)
+    # filter size is the exact size rounded up to a power of two
+    assert bf.size >= expected and bf.size & (bf.size - 1) == 0
+    assert bf.num_hashes == round(bf.size * math.log(2.0) / n)
 
 
 def test_cbf_add_count_find():

@@ -53,6 +53,9 @@ def make_seeds(num_hashes: int, seed: int) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("m",))
 def _positions(hashes: jnp.ndarray, seeds: jnp.ndarray, m: int) -> jnp.ndarray:
     """[N] u64 hashes x [kh] seeds -> [kh, N] u64 filter positions."""
+    if m & (m - 1) == 0:  # power-of-two size: bit-and addressing
+        mask = _U64(m - 1)
+        return jax.vmap(lambda s: murmur3_x64_128_u64key(hashes, s) & mask)(seeds)
     out = jax.vmap(lambda s: murmur3_x64_128_u64key(hashes, s) % _U64(m))(seeds)
     return out
 
@@ -81,7 +84,17 @@ class CountingBloomFilter:
         if _from_state is not None:
             self.size, self.num_hashes, self.seeds, self.filter = _from_state
             return
-        self.size = cbf_size(n, p)
+        # TPU deviation from the reference's exact m = ceil(n ln p / ...):
+        # round the filter size UP to a power of two.  Position addressing
+        # becomes a bit-and instead of a u64 modulo, and XLA compiles at most
+        # log2 distinct filter shapes across genome sizes.  The false-positive
+        # rate only improves; count semantics are unchanged.  (The reference's
+        # own CBF contents are irreproducible anyway -- random_device seeds.)
+        m_exact = cbf_size(n, p)
+        m = 1
+        while m < m_exact:
+            m *= 2
+        self.size = m
         self.num_hashes = cbf_num_hashes(n, self.size)
         self.seeds = make_seeds(self.num_hashes, seed)
         self.filter = jnp.zeros((self.size,), jnp.uint8)
