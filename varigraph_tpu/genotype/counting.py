@@ -71,6 +71,7 @@ def count_reads(
     cov = accs[0]
     for extra in accs[1:]:
         cov = cov + extra
+    cov.block_until_ready()
     table.cov = cov
     log(f"Processed {nbatches} batches, {read_base / 1e9:.2f} Gb", func="count_reads")
     return read_base

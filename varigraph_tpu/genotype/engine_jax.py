@@ -351,12 +351,18 @@ def _pow2(n: int, lo: int = 1) -> int:
     return p
 
 
-def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int
-                 ) -> dict[tuple[str, int], PosteriorRecord]:
-    cov_u8 = gi.table.cov_u8()
-    freq_np = gi.table.freq_np()
-    bit_rows = gi.table.hapbit_rows_np()
-    refflag = gi.table.refflag_np()
+def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
+                 host_arrays=None) -> dict[tuple[str, int], PosteriorRecord]:
+    import time as _time
+    _t = {"prep": 0.0, "emit": 0.0, "fb": 0.0, "post": 0.0}
+    _t0 = _time.perf_counter()
+    if host_arrays is not None:
+        cov_u8, freq_np, bit_rows, refflag = host_arrays
+    else:
+        cov_u8 = gi.table.cov_u8()
+        freq_np = gi.table.freq_np()
+        bit_rows = gi.table.hapbit_rows_np()
+        refflag = gi.table.refflag_np()
 
     # geometric-model scalars
     p = get_error_param(float(np.float32(hap_cov)))
@@ -388,6 +394,7 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int
             )
             if prep.node_refs:
                 preps.append(prep)
+    _t["prep"] = _time.perf_counter() - _t0
 
     results: dict[tuple[str, int], PosteriorRecord] = {}
     if not preps:
@@ -453,6 +460,8 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int
         lw_all[wi, :s] = prep.log_w
         sm_all[wi, :s] = True
 
+    _t["emit"] = _time.perf_counter() - _t0 - _t["prep"]
+    _t0b = _time.perf_counter()
     alpha, beta = _forward_backward(
         jnp.asarray(logE_all), jnp.asarray(kind_all),
         jnp.asarray(lrf), jnp.asarray(lnrf), jnp.asarray(lrb), jnp.asarray(lnrb),
@@ -461,6 +470,7 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int
     )
     alpha = np.asarray(alpha)
     beta = np.asarray(beta)
+    _t["fb"] = _time.perf_counter() - _t0b
 
     # ---- posterior on host (genotype.cpp:1371-1546) ----
     for wi, prep in enumerate(preps):
@@ -516,4 +526,10 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int
                         )
                     rec_out.uk = uk
             results[(prep.chrom, node.start)] = rec_out
+    _t["post"] = _time.perf_counter() - _t0 - _t["prep"] - _t["emit"] - _t["fb"]
+    log(
+        "engine timing: prep {prep:.2f}s emit {emit:.2f}s fb {fb:.2f}s "
+        "posterior {post:.2f}s".format(**_t),
+        func="genotype_jax",
+    )
     return results

@@ -508,13 +508,16 @@ class _WindowEngine:
         results[(self.chrom, node.start)] = rec_out
 
 
-def genotype_np(gi: GraphIndex, cfg, hap_cov: float, seed: int
-                ) -> dict[tuple[str, int], PosteriorRecord]:
+def genotype_np(gi: GraphIndex, cfg, hap_cov: float, seed: int,
+                host_arrays=None) -> dict[tuple[str, int], PosteriorRecord]:
     """Run the oracle engine over all chromosomes/windows."""
-    cov_u8 = gi.table.cov_u8()
-    freq = gi.table.freq_np()
-    bit_rows = gi.table.hapbit_rows_np()
-    refflag = gi.table.refflag_np()
+    if host_arrays is not None:
+        cov_u8, freq, bit_rows, refflag = host_arrays
+    else:
+        cov_u8 = gi.table.cov_u8()
+        freq = gi.table.freq_np()
+        bit_rows = gi.table.hapbit_rows_np()
+        refflag = gi.table.refflag_np()
 
     results: dict[tuple[str, int], PosteriorRecord] = {}
     for chrom in sorted(gi.graph.nodes.keys()):

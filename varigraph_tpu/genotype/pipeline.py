@@ -71,6 +71,9 @@ def load_counts(gi: GraphIndex, path: str) -> int:
     return int(z["read_base"])
 
 
+import time as _time
+
+
 def genotype_one_sample(
     gi: GraphIndex,
     cfg: VarigraphConfig,
@@ -81,6 +84,7 @@ def genotype_one_sample(
     counts_out: str | None = None,
 ) -> str:
     """Count + genotype one sample; returns the output VCF path."""
+    _t0 = _time.perf_counter()
     if counts_in:
         read_base = load_counts(gi, counts_in)
     else:
@@ -90,8 +94,11 @@ def genotype_one_sample(
         )
         if counts_out:
             save_counts(gi, counts_out, read_base)
+    log(f"phase timing: counting {_time.perf_counter()-_t0:.2f}s",
+        func="genotype_one_sample")
     read_depth = read_base / float(gi.genome_size)
 
+    _t0 = _time.perf_counter()
     cov_u8 = gi.table.cov_u8()
     freq = gi.table.freq_np()
     bit_rows = gi.table.hapbit_rows_np()
@@ -99,6 +106,8 @@ def genotype_one_sample(
         cov_u8, freq, bit_rows, gi.vcf_ploidy, cfg.sample_ploidy,
         read_depth, cfg.use_depth,
     )
+    log(f"phase timing: coverage model {_time.perf_counter()-_t0:.2f}s",
+        func="genotype_one_sample")
     log(f"Size of the sequenced data: {read_base / 1e9:.2f} Gb")
     log(f"Depth of the sequenced data: {read_depth:.2f}")
     log(f"Coverage of haplotype k-mers: {hap_cov:.2f}")
@@ -109,16 +118,23 @@ def genotype_one_sample(
         log("Debug mode: using the host oracle engine for verbose traces.",
             func="genotype")
         cfg.engine = "np"
+    _t0 = _time.perf_counter()
+    host_arrays = (cov_u8, freq, bit_rows, gi.table.refflag_np())
     if cfg.engine == "np":
-        results = genotype_np(gi, cfg, hap_cov, cfg.seed)
+        results = genotype_np(gi, cfg, hap_cov, cfg.seed, host_arrays)
     else:
         from .engine_jax import genotype_jax
 
-        results = genotype_jax(gi, cfg, hap_cov, cfg.seed)
+        results = genotype_jax(gi, cfg, hap_cov, cfg.seed, host_arrays)
+    log(f"phase timing: scoring {_time.perf_counter()-_t0:.2f}s",
+        func="genotype_one_sample")
 
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{sample_name}.varigraph.vcf.gz")
+    _t0 = _time.perf_counter()
     write_vcf(gi, results, sample_name, out_path, cfg.min_supporting_gq)
+    log(f"phase timing: vcf write {_time.perf_counter()-_t0:.2f}s",
+        func="genotype_one_sample")
     return out_path
 
 

@@ -163,7 +163,7 @@ def _sketch_contexts(contexts: list[str], k: int) -> list[np.ndarray]:
 
 def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
                 nhap: int, vcf_ploidy: int, fast_mode: bool,
-                use_unique_kmers: bool):
+                use_unique_kmers: bool, debug: bool = False):
     """Build per-node k-mer sets and the global k-mer arrays.
 
     Returns (keys u64, freq u8, hapbit_rows [M, nhap] u8, refflag bool),
@@ -205,6 +205,13 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
             up, down, alt_seq = find_node_up_down_seq(
                 haplotype, gt, node.seqs[gt], k - 1, node_idx, starts, nodes
             )
+            if debug:  # reference -D trace (construct_index.cpp:1189-1191)
+                import sys
+
+                sys.stderr.write(
+                    f"Node Start:{node.start}, Haplotype:{haplotype}, GT:{gt}, "
+                    f"Upstream:{up}, Current:{alt_seq}, Downstream:{down}\n"
+                )
             contexts.append(up + alt_seq + down)
             ctx_meta.append((task_id, haplotype, gt))
 
@@ -342,7 +349,7 @@ def construct_graph_index(config: VarigraphConfig) -> GraphIndex:
 
     arrays = index_graph(
         graph, bf, config.kmer_len, len(hap_names), config.vcf_ploidy,
-        config.fast_mode, config.use_unique_kmers,
+        config.fast_mode, config.use_unique_kmers, debug=config.debug,
     )
     table = build_kmer_table(arrays, len(hap_names))
 

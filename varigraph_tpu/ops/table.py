@@ -196,14 +196,24 @@ class KmerTable:
         self.cov = jnp.zeros_like(self.cov)
 
     # ------------------------------------------------------------ host views
+    # keys/freq/hapbits/refflag are immutable after build; device->host
+    # transfers ride a high-latency tunnel here, so memoize them.
     def keys_np(self) -> np.ndarray:
-        return np.asarray(self.keys)
+        if not hasattr(self, "_keys_np"):
+            self._keys_np = np.asarray(self.keys)
+        return self._keys_np
 
     def freq_np(self) -> np.ndarray:
-        return np.asarray(self.freq)
+        if not hasattr(self, "_freq_np"):
+            self._freq_np = np.asarray(self.freq)
+        return self._freq_np
 
     def hapbit_rows_np(self) -> np.ndarray:
-        return unpack_hapbits(np.asarray(self.hapbits), self.nhap)
+        if not hasattr(self, "_rows_np"):
+            self._rows_np = unpack_hapbits(np.asarray(self.hapbits), self.nhap)
+        return self._rows_np
 
     def refflag_np(self) -> np.ndarray:
-        return np.asarray(self.refflag)
+        if not hasattr(self, "_refflag_np"):
+            self._refflag_np = np.asarray(self.refflag)
+        return self._refflag_np
