@@ -65,3 +65,27 @@ def test_masked_counts():
     t = KmerTable.build(keys, freq, bits, refflag, h)
     t.add_counts(keys, mask=np.arange(20) % 2 == 0)
     assert t.cov_u8().sum() == 10
+
+
+def test_count_merge_chunked_matches_flat():
+    import jax.numpy as jnp
+
+    from varigraph_tpu.ops.table import count_merge, count_merge_chunked
+
+    rng = np.random.default_rng(3)
+    m = 100
+    keys = np.sort(
+        (rng.integers(0, 1 << 40, size=m, dtype=np.uint64) << np.uint64(8))
+        | np.uint64(27)
+    )
+    q = (rng.integers(0, 1 << 40, size=256, dtype=np.uint64) << np.uint64(8)) | np.uint64(27)
+    hit = rng.random(256) < 0.5
+    q[hit] = keys[rng.integers(0, m, size=int(hit.sum()))]
+    mask = rng.random(256) < 0.9
+
+    cov_flat = count_merge(jnp.zeros(m, jnp.uint32), jnp.asarray(keys),
+                           jnp.asarray(q), jnp.asarray(mask))
+    for chunks in (2, 4, 8):
+        cov_c = count_merge_chunked(jnp.zeros(m, jnp.uint32), jnp.asarray(keys),
+                                    jnp.asarray(q), jnp.asarray(mask), chunks)
+        np.testing.assert_array_equal(np.asarray(cov_c), np.asarray(cov_flat))

@@ -183,12 +183,28 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
             tasks.append((chrom, node_idx, node))
 
     # ---- per-haplotype contexts ----
-    contexts: list[str] = []
+    # The walker is deterministic given (gt, GTs at its visited node range)
+    # -- see find_node_up_down_seq.  Population VCFs have far fewer distinct
+    # local GT signatures than haplotypes, so walks are memoized per node by
+    # signature and the resulting context strings deduplicated globally
+    # before device sketching (the reference re-walks every haplotype,
+    # construct_index.cpp:1139-1186).
+    contexts: list[str] = []        # unique context strings
+    ctx_id: dict[str, int] = {}
+    ctx_ref: list[int] = []         # per ctx_meta entry -> unique context id
     ctx_meta: list[tuple[int, int, int]] = []  # (task_id, haplotype, gt)
+    walks = walk_hits = 0
     for task_id, (chrom, node_idx, node) in enumerate(tasks):
         starts = graph.starts[chrom]
         nodes = graph.nodes[chrom]
         hap_gt = node.hap_gt
+
+        def hgt(i: int, haplotype: int) -> int:
+            hg = nodes[i].hap_gt
+            return hg[haplotype] if haplotype < len(hg) else 0
+
+        # gt -> list of (up_gts, down_gts, (up, down, alt_seq))
+        memo: dict[int, list] = {}
         for haplotype in range(len(hap_gt)):
             gt = hap_gt[haplotype]
             if fast_mode and haplotype > 0 and gt == 0:
@@ -202,9 +218,28 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
                     f"The node '{chrom}-{node.start}' lacks sequence information "
                     f"for haplotype {gt}."
                 )
-            up, down, alt_seq = find_node_up_down_seq(
-                haplotype, gt, node.seqs[gt], k - 1, node_idx, starts, nodes
-            )
+            result = None
+            for up_gts, down_gts, cached in memo.get(gt, ()):
+                if all(
+                    hgt(node_idx - 1 - j, haplotype) == g
+                    for j, g in enumerate(up_gts)
+                ) and all(
+                    hgt(node_idx + 1 + j, haplotype) == g
+                    for j, g in enumerate(down_gts)
+                ):
+                    result = cached
+                    walk_hits += 1
+                    break
+            if result is None:
+                t_up: list[int] = []
+                t_down: list[int] = []
+                result = find_node_up_down_seq(
+                    haplotype, gt, node.seqs[gt], k - 1, node_idx, starts,
+                    nodes, trace_up=t_up, trace_down=t_down,
+                )
+                memo.setdefault(gt, []).append((tuple(t_up), tuple(t_down), result))
+                walks += 1
+            up, down, alt_seq = result
             if debug:  # reference -D trace (construct_index.cpp:1189-1191)
                 import sys
 
@@ -212,68 +247,102 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
                     f"Node Start:{node.start}, Haplotype:{haplotype}, GT:{gt}, "
                     f"Upstream:{up}, Current:{alt_seq}, Downstream:{down}\n"
                 )
-            contexts.append(up + alt_seq + down)
+            ctx = up + alt_seq + down
+            cid = ctx_id.get(ctx)
+            if cid is None:
+                cid = len(contexts)
+                ctx_id[ctx] = cid
+                contexts.append(ctx)
+            ctx_ref.append(cid)
             ctx_meta.append((task_id, haplotype, gt))
+    del ctx_id
+    if walk_hits:
+        log(f"Graph walks: {walks} unique / {walks + walk_hits} total "
+            f"({len(contexts)} distinct contexts)")
 
     # ---- device sketch + CBF counts ----
-    ctx_kmers = _sketch_contexts(contexts, k)
+    uniq_ctx_kmers = _sketch_contexts(contexts, k)
     all_kmers = (
-        np.concatenate([c for c in ctx_kmers if len(c)])
-        if any(len(c) for c in ctx_kmers)
+        np.concatenate([c for c in uniq_ctx_kmers if len(c)])
+        if any(len(c) for c in uniq_ctx_kmers)
         else np.empty(0, np.uint64)
     )
-    uniq_kmers, inv = (
-        np.unique(all_kmers, return_inverse=True)
-        if len(all_kmers)
-        else (np.empty(0, np.uint64), np.empty(0, np.int64))
+    uniq_kmers = (
+        np.unique(all_kmers) if len(all_kmers) else np.empty(0, np.uint64)
     )
     uniq_counts = bf.count(uniq_kmers) if len(uniq_kmers) else np.empty(0, np.uint8)
-    count_of = dict(zip(uniq_kmers.tolist(), uniq_counts.tolist()))
 
     # ---- vectorized per-node aggregation + global merge ----
-    # Flat entry arrays: one row per (context, kmer) occurrence.
+    # Haplotypes sharing a context collapse first into (task, context) groups
+    # (hap bitmask OR + has-alt/has-hap0 flags); entry arrays then carry one
+    # row per (group, kmer) instead of per (haplotype, kmer) -- for population
+    # VCFs this is a ~nhap-fold reduction in sort/merge work.
     nbytes = (nhap + 7) // 8
-    e_task, e_hap, e_gt, e_kh = [], [], [], []
-    for (task_id, haplotype, gt), kmers in zip(ctx_meta, ctx_kmers):
+    group_of: dict[tuple[int, int], int] = {}
+    g_task_l: list[int] = []
+    g_cid_l: list[int] = []
+    g_bits_l: list[np.ndarray] = []
+    g_alt_l: list[bool] = []
+    g_h0_l: list[bool] = []
+    for (task_id, haplotype, gt), cid in zip(ctx_meta, ctx_ref):
+        key = (task_id, cid)
+        g = group_of.get(key)
+        if g is None:
+            g = len(g_task_l)
+            group_of[key] = g
+            g_task_l.append(task_id)
+            g_cid_l.append(cid)
+            g_bits_l.append(np.zeros(nbytes, np.uint8))
+            g_alt_l.append(False)
+            g_h0_l.append(False)
+        g_bits_l[g][haplotype >> 3] |= np.uint8(1 << (haplotype & 7))
+        if gt != 0:
+            g_alt_l[g] = True
+        if haplotype == 0:
+            g_h0_l[g] = True
+    del group_of
+
+    e_task_l, e_kh_l, e_gidx_l = [], [], []
+    for g, (task_id, cid) in enumerate(zip(g_task_l, g_cid_l)):
+        kmers = uniq_ctx_kmers[cid]
         if not len(kmers):
             continue
-        e_task.append(np.full(len(kmers), task_id, np.int64))
-        e_hap.append(np.full(len(kmers), haplotype, np.int32))
-        e_gt.append(np.full(len(kmers), gt, np.int32))
-        e_kh.append(kmers)
-    if not e_kh:
+        e_task_l.append(np.full(len(kmers), task_id, np.int64))
+        e_kh_l.append(kmers)
+        e_gidx_l.append(np.full(len(kmers), g, np.int64))
+    if not e_kh_l:
         for _, _, node in tasks:
             node.kmer_hashes = []
             node.local_bits = np.zeros((0, nbytes), np.uint8)
         return (np.empty(0, np.uint64), np.empty(0, np.uint8),
                 np.zeros((0, nhap), np.uint8), np.empty(0, bool))
-    e_task = np.concatenate(e_task)
-    e_hap = np.concatenate(e_hap)
-    e_gt = np.concatenate(e_gt)
-    e_kh = np.concatenate(e_kh)
+    e_task = np.concatenate(e_task_l)
+    e_kh = np.concatenate(e_kh_l)
+    e_gidx = np.concatenate(e_gidx_l)
+    g_bits = np.stack(g_bits_l)
+    g_alt = np.array(g_alt_l, bool)
+    g_h0 = np.array(g_h0_l, bool)
     e_fre = uniq_counts[np.searchsorted(uniq_kmers, e_kh)].astype(np.int64)
 
     # sort entries by (task, kmer); group = unique (task, kmer) pair
     order = np.lexsort((e_kh, e_task))
-    e_task, e_hap, e_gt, e_kh, e_fre = (
-        e_task[order], e_hap[order], e_gt[order], e_kh[order], e_fre[order]
+    e_task, e_kh, e_gidx, e_fre = (
+        e_task[order], e_kh[order], e_gidx[order], e_fre[order]
     )
     new_pair = np.empty(len(e_kh), bool)
     new_pair[0] = True
     new_pair[1:] = (e_task[1:] != e_task[:-1]) | (e_kh[1:] != e_kh[:-1])
     starts = np.flatnonzero(new_pair)
 
-    # per-pair haplotype bitmask: OR of one-hot byte rows within each group
-    one_hot = np.zeros((len(e_kh), nbytes), np.uint8)
-    one_hot[np.arange(len(e_kh)), e_hap >> 3] = (1 << (e_hap & 7)).astype(np.uint8)
-    pair_bits = np.bitwise_or.reduceat(one_hot, starts, axis=0)
+    # per-pair haplotype bitmask: OR of the context groups' bit rows
+    pair_bits = np.bitwise_or.reduceat(g_bits[e_gidx], starts, axis=0)
     pair_task = e_task[starts]
     pair_kh = e_kh[starts]
     pair_fre = e_fre[starts]
     # ref flag (construct_index.cpp:1211-1215): genome k-mer carried by a
     # non-REF allele whose REF-path (haplotype 0) context lacks it.
-    has_alt = np.logical_or.reduceat(e_gt != 0, starts)
-    has_hap0 = np.logical_or.reduceat(e_hap == 0, starts)
+    has_alt = np.logical_or.reduceat(g_alt[e_gidx], starts)
+    has_hap0 = np.logical_or.reduceat(g_h0[e_gidx], starts)
     pair_flag = has_alt & (pair_fre >= 1) & ~has_hap0
 
     # per-task minimum CBF frequency -> keep rule

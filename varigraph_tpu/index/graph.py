@@ -320,6 +320,8 @@ def find_node_up_down_seq(
     node_idx: int,
     starts: list[int],
     nodes: list[Node],
+    trace_up: list | None = None,
+    trace_down: list | None = None,
 ) -> tuple[str, str, str]:
     """Walk neighbor nodes to collect the haplotype's sequence up to seq_len
     bases up- and downstream of a node.
@@ -329,6 +331,13 @@ def find_node_up_down_seq(
     comment diagrams at :1314-1322 and :1406-1428 are the spec).  Unlike the
     C++ (which mutates altSeq in place), the possibly-modified alt sequence is
     returned as the third element.
+
+    The walk is a deterministic function of (alt_gt, alt_seq, node_idx) and
+    the haplotype's GT at each *visited* node; visits are consecutive ranges
+    (node_idx-1 downward, node_idx+1 upward).  When ``trace_up``/``trace_down``
+    lists are supplied, the GT consulted at every visited node is appended in
+    visit order, which lets callers memoize walks by GT signature (two
+    haplotypes with the same GTs over the visited range yield the same walk).
 
     Returns (up_seq, down_seq, alt_seq).
     """
@@ -351,6 +360,8 @@ def find_node_up_down_seq(
         node_tmp = nodes[idx]
         node_end_tmp = node_start_tmp + len(node_tmp.seqs[0]) - 1
         gt_tmp = node_tmp.hap_gt[haplotype] if haplotype < len(node_tmp.hap_gt) else 0
+        if trace_up is not None:
+            trace_up.append(gt_tmp)
         if gt_tmp >= len(node_tmp.seqs):
             raise ValueError(
                 f"The node '{alt_start}' lacks sequence information for haplotype {gt_tmp}."
@@ -405,6 +416,8 @@ def find_node_up_down_seq(
         node_len_tmp = len(node_tmp.seqs[0])
         node_end_tmp = node_start_tmp + node_len_tmp - 1
         gt_tmp = node_tmp.hap_gt[haplotype] if haplotype < len(node_tmp.hap_gt) else 0
+        if trace_down is not None:
+            trace_down.append(gt_tmp)
         if gt_tmp >= len(node_tmp.seqs):
             raise ValueError(
                 f"The node '{alt_start}' lacks sequence information for haplotype {gt_tmp}."

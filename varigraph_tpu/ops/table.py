@@ -99,6 +99,41 @@ def count_merge(cov: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
     return cov.at[idx].add(matched.astype(jnp.uint32), mode="drop")
 
 
+def count_merge_chunked(cov: jnp.ndarray, keys: jnp.ndarray,
+                        queries: jnp.ndarray, mask: jnp.ndarray,
+                        chunks: int) -> jnp.ndarray:
+    """count_merge split into ``chunks`` independent row-sorts.
+
+    Each chunk carries its own copy of the table keys, so chunks join
+    independently and one batched ``lax.sort`` call sorts all rows in
+    parallel.  Past ~2-3M elements a single flat sort falls out of its fast
+    (VMEM-sized) regime on TPU; R smaller sorts of (M + Q/R) elements each
+    stay inside it at the cost of (R-1)*M duplicated key slots.
+    """
+    m = keys.shape[0]
+    q = jnp.where(mask, queries, _SENTINEL).reshape(chunks, -1)
+    tag_bit = _U64(0x80)
+    vals = jnp.concatenate(
+        [jnp.broadcast_to(keys, (chunks, m)), q | tag_bit], axis=1
+    )
+    vals_s = jax.lax.sort(vals, dimension=1)
+    is_key = (vals_s & tag_bit) == 0
+    vals_s = vals_s & ~tag_bit
+    first = jnp.concatenate(
+        [jnp.ones((chunks, 1), jnp.bool_), vals_s[:, 1:] != vals_s[:, :-1]],
+        axis=1,
+    )
+    key_at_start = first & is_key
+    seg_id = jnp.cumsum(first.astype(jnp.int32), axis=1)
+    latest_key_run = jax.lax.cummax(jnp.where(key_at_start, seg_id, 0), axis=1)
+    matched = (~is_key) & (latest_key_run == seg_id)
+    run_idx = jnp.cumsum(is_key.astype(jnp.int32), axis=1) - 1
+    idx = jnp.where(matched, run_idx, m)
+    return cov.at[idx.reshape(-1)].add(
+        matched.reshape(-1).astype(jnp.uint32), mode="drop"
+    )
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _add_counts(cov: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
                 mask: jnp.ndarray) -> jnp.ndarray:
