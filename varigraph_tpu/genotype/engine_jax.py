@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import functools
 import math
-from collections import Counter
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +49,7 @@ MAX_NODE_KMERS = 128
 # emission kernel
 # ======================================================================
 
-@functools.partial(jax.jit, static_argnames=("P",))
+@jax.jit
 def _emissions(
     c,          # [B, K] int32   raw coverage (saturated u8)
     f,          # [B, K] int32   graph frequency
@@ -59,14 +58,19 @@ def _emissions(
     bits_u,     # [B, K, U] int32   global hap bits for used haps
     local_u,    # [B, K, U] int32   node-local hap bits for used haps
     gt0_u,      # [B, U] bool    hap's GT at this node == 0
-    state_u,    # [S, P] int32   state -> used-hap index
+    state_cnt,  # [U, S] f32     count of used-hap u in state s's combo
     smask,      # [S] bool       valid state
     ave,        # f32 scalar     hap k-mer coverage
     lower, upper,  # f32 scalars  95% CI
     log_p, log_q, log_prior,  # f32 scalars of the geometric model
-    P: int,
 ):
-    """Returns logE [B, S] (f32): per-state log emission scores."""
+    """Returns logE [B, S] (f32): per-state log emission scores.
+
+    The per-state haplotype copy-count sums (h and the verification
+    decrement) are contractions over the used-hap axis against the
+    state-count matrix -- MXU matmuls instead of a [B, K, S, P] gather.
+    Values are small integers, exact in f32.
+    """
     ave = jnp.float32(ave)
     # hTmp per (b, k, u): ref-flag CI inclusion (genotype.cpp:702)
     cf = c.astype(jnp.float32)
@@ -75,9 +79,11 @@ def _emissions(
     )[:, :, None]
     htmp = jnp.where(ci, 1, bits_u)  # [B, K, U]
 
-    # h per (b, s, k): sum over the state's haplotypes
-    ht_sel = htmp[:, :, state_u]            # [B, K, S, P]
-    h = ht_sel.sum(axis=-1)                 # [B, K, S]
+    # h per (b, k, s): sum of copy counts over the state's haplotypes
+    h = jnp.einsum(
+        "bku,us->bks", htmp.astype(jnp.float32), state_cnt,
+        preferred_element_type=jnp.float32,
+    )
 
     # verification (genotype.cpp:706-812) via local bitmasks
     trigger = ((cf < lower) & (f >= 2))[:, :, None] & (htmp > 0) & kmask[:, :, None]
@@ -89,15 +95,18 @@ def _emissions(
         & need_u[:, None, :]
         & (local_u == 0)
     )                                        # [B, K, U]
-    dec = dec_u[:, :, state_u].sum(axis=-1)  # [B, K, S]
-    h = jnp.maximum(h - dec, 0)
+    dec = jnp.einsum(
+        "bku,us->bks", dec_u.astype(jnp.float32), state_cnt,
+        preferred_element_type=jnp.float32,
+    )
+    h = jnp.maximum(h - dec, 0.0)
 
     # effective frequency (genotype.cpp:713-718)
     f_eff = jnp.where(flag & (f == 1), 2, f)[:, :, None]  # [B, K, 1]
 
     # coverage rescaling (find_most_likely_depth, genotype.cpp:1136-1158)
     cB = c[:, :, None].astype(jnp.float32)   # [B, K, 1]
-    hf = h.astype(jnp.float32)               # [B, K, S]
+    hf = h                                   # [B, K, S] exact small ints in f32
     ff = f_eff.astype(jnp.float32)
     cap = jnp.floor(ave * hf)                # uint8 truncation
     c_div_f = jnp.floor(cB / ff)
@@ -240,12 +249,18 @@ class _WindowPrep:
         )
         self.used_haps = sorted({h for s in self.states for h in s})
 
-        counters = [Counter(s) for s in self.states]
+        # state-overlap matrix: |multiset intersection| of haplotype combos
+        # (genotype.cpp:1217-1227) -- sum over haps of min(count_i, count_j)
         S = len(self.states)
-        self.overlap = np.zeros((S, S), np.int32)
-        for i in range(S):
-            for j in range(S):
-                self.overlap[i, j] = sum((counters[i] & counters[j]).values())
+        hap_list = self.used_haps
+        hap_pos = {h: i for i, h in enumerate(hap_list)}
+        cnt = np.zeros((S, len(hap_list)), np.int32)
+        for si, st in enumerate(self.states):
+            for h in st:
+                cnt[si, hap_pos[h]] += 1
+        self.overlap = np.minimum(cnt[:, None, :], cnt[None, :, :]).sum(
+            axis=2, dtype=np.int32
+        )
 
         # scorable nodes (genotype.cpp:257-277)
         vcf_info_chrom = gi.vcf_info.get(chrom, {})
@@ -278,41 +293,55 @@ class _WindowPrep:
         self.local_u = np.zeros((n, K, U), np.int32)
         self.gt0_u = np.zeros((n, U), bool)
         self.kind = np.ones(n, np.int32)
-        self.active_idx = []
 
         starts = np.array([nd.start for nd in self.node_refs], np.int64)
         ends = np.array(
             [nd.start + len(nd.seqs[0]) - 1 for nd in self.node_refs], np.int64
         )
 
-        for ni, node in enumerate(self.node_refs):
-            idx = node.table_idx
-            if idx is None or len(idx) == 0:
-                self.kind[ni] = 2
-                self.active_idx.append(np.empty(0, np.int64))
-                continue
-            bits = bit_rows[idx]
-            keep = bits[:, self.top_hap].any(axis=1)
-            act = idx[keep]
-            if len(act) == 0:
-                self.kind[ni] = 2
-                self.active_idx.append(act)
-                continue
-            self.active_idx.append(act)
-            kk = len(act)
-            self.c[ni, :kk] = cov_u8[act]
-            self.f[ni, :kk] = freq_np[act]
-            self.flag[ni, :kk] = refflag[act]
-            self.kmask[ni, :kk] = True
-            self.bits_u[ni, :kk] = bit_rows[act][:, self.used_haps]
-            unpacked = np.unpackbits(
-                node.local_packed[keep], axis=1, bitorder="little"
+        # flat gather across all nodes of the window (no per-node numpy calls)
+        lens = np.array(
+            [0 if nd.table_idx is None else len(nd.table_idx)
+             for nd in self.node_refs],
+            np.int64,
+        )
+        if lens.sum() > 0:
+            flat_idx = np.concatenate(
+                [np.asarray(nd.table_idx, np.int64)
+                 for nd in self.node_refs if nd.table_idx is not None
+                 and len(nd.table_idx)]
             )
-            self.local_u[ni, :kk] = unpacked[:, self.used_haps]
-            for uj, hp in enumerate(self.used_haps):
-                self.gt0_u[ni, uj] = (
-                    node.hap_gt[hp] == 0 if hp < len(node.hap_gt) else True
-                )
+            node_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            all_local = np.concatenate(
+                [nd.local_packed for nd in self.node_refs
+                 if nd.table_idx is not None and len(nd.table_idx)]
+            )
+            keep_flat = bit_rows[flat_idx][:, self.top_hap].any(axis=1)
+            act_flat = flat_idx[keep_flat]
+            act_node = node_of[keep_flat]
+            counts = np.bincount(act_node, minlength=n)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            pos = np.arange(len(act_flat), dtype=np.int64) - offs[act_node]
+            self.kind[counts == 0] = 2
+            self.c[act_node, pos] = cov_u8[act_flat]
+            self.f[act_node, pos] = freq_np[act_flat]
+            self.flag[act_node, pos] = refflag[act_flat]
+            self.kmask[act_node, pos] = True
+            self.bits_u[act_node, pos] = bit_rows[act_flat][:, self.used_haps]
+            unpacked = np.unpackbits(
+                all_local[keep_flat], axis=1, bitorder="little"
+            )
+            self.local_u[act_node, pos] = unpacked[:, self.used_haps]
+        else:
+            self.kind[:] = 2
+        for uj, hp in enumerate(self.used_haps):
+            gt0_col = np.array(
+                [nd.hap_gt[hp] == 0 if hp < len(nd.hap_gt) else True
+                 for nd in self.node_refs],
+                bool,
+            )
+            self.gt0_u[:, uj] = gt0_col
 
         # distances between chain nodes (resets update anchors but do not
         # score -- genotype.cpp:371-374)
@@ -344,11 +373,58 @@ class _WindowPrep:
             )
 
 
+def state_count_matrix(state_u: np.ndarray, U: int) -> np.ndarray:
+    """[S, P] used-hap indices -> [U, S] f32 copy counts per state."""
+    S = state_u.shape[0]
+    cnt = np.zeros((U, S), np.float32)
+    for si in range(S):
+        for u in state_u[si]:
+            cnt[u, si] += 1.0
+    return cnt
+
+
 def _pow2(n: int, lo: int = 1) -> int:
     p = lo
     while p < n:
         p *= 2
     return p
+
+
+def _posterior_string_fallback(rec_out, prep, post, node, nak_u, cak_num_u,
+                               uk: int, hap2u: dict):
+    """Exact string-keyed genotype aggregation (genotype.cpp:1441-1513) for
+    nodes carrying GT values >= 10, where packed numeric keys would diverge
+    from std::map's lexicographic string order."""
+    hap_gt = node.hap_gt
+    geno_strs = [
+        "/".join(sorted(str(hap_gt[h]) for h in st)) for st in prep.states
+    ]
+    geno_sum: dict[str, float] = {}
+    for si, gs in enumerate(geno_strs):
+        geno_sum[gs] = geno_sum.get(gs, 0.0) + post[si]
+    best_g, best_score = None, -1.0
+    for gs in sorted(geno_sum.keys()):
+        if geno_sum[gs] > best_score:
+            best_score = geno_sum[gs]
+            best_g = gs
+    max_post = 0.0
+    for si, gs in enumerate(geno_strs):
+        if gs != best_g:
+            continue
+        rec_out.probability = float(best_score)
+        if max_post < post[si]:
+            max_post = post[si]
+            rec_out.hap_vec = list(prep.states[si])
+            rec_out.kmer_num_vec = []
+            rec_out.kmer_avecov_vec = []
+            for hp in rec_out.hap_vec:
+                uj = hap2u[hp]
+                num = int(nak_u[uj])
+                rec_out.kmer_num_vec.append(num)
+                rec_out.kmer_avecov_vec.append(
+                    float(cak_num_u[uj]) / num if num else 0.0
+                )
+            rec_out.uk = uk
 
 
 def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
@@ -436,7 +512,7 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         bits_u = padK(prep.bits_u, (N, K, U))
         local_u = padK(prep.local_u, (N, K, U))
         gt0_u = padK(prep.gt0_u, (N, U))
-        state_u = padK(prep.state_u, (S, P))
+        state_cnt = padK(state_count_matrix(prep.state_u, U), (U, S))
         smask = np.zeros(S, bool)
         smask[:s] = True
 
@@ -445,10 +521,9 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
             jnp.asarray(padK(prep.flag, (N, K))),
             jnp.asarray(padK(prep.kmask, (N, K))),
             jnp.asarray(bits_u), jnp.asarray(local_u),
-            jnp.asarray(gt0_u), jnp.asarray(state_u), jnp.asarray(smask),
+            jnp.asarray(gt0_u), jnp.asarray(state_cnt), jnp.asarray(smask),
             np.float32(hap_cov), np.float32(prep.lower), np.float32(prep.upper),
             np.float32(np.log(p)), np.float32(np.log(q)), np.float32(log_prior),
-            P,
         )
         logE_all[wi, :n] = np.asarray(logE)[:n]
         kind_all[wi, :n] = prep.kind
@@ -472,59 +547,107 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
     beta = np.asarray(beta)
     _t["fb"] = _time.perf_counter() - _t0b
 
-    # ---- posterior on host (genotype.cpp:1371-1546) ----
+    # ---- posterior on host (genotype.cpp:1371-1546), vectorized per window ----
+    # Genotype grouping uses string-sorted keys in the reference
+    # (std::map<string>, genotype.cpp:1441-1459).  For GT values <= 9 the
+    # string order of "a/b/..." (digits sorted ascending) equals the
+    # lexicographic order of the ascending-sorted numeric tuples, so groups
+    # are formed with packed integer keys; rare nodes carrying GT >= 10 fall
+    # back to the exact string path.
     for wi, prep in enumerate(preps):
         s = len(prep.states)
+        n = len(prep.node_refs)
+        if n == 0:
+            continue
+        real = prep.kind == 1
+        a = alpha[wi, :n, :s].astype(np.float64)
+        b = beta[wi, :n, :s].astype(np.float64)
+        ab = a * b
+        den = ab.sum(axis=1)
+        safe_den = np.where(den != 0, den, 1.0)
+        post = np.where((den != 0)[:, None], ab / safe_den[:, None], 0.0)
+
+        # per-node GT values of the used haplotypes [n, U]
+        U = len(prep.used_haps)
+        G_nu = np.zeros((n, U), np.int64)
         for ni, node in enumerate(prep.node_refs):
-            if prep.kind[ni] != 1:
+            hg = node.hap_gt
+            lh = len(hg)
+            for uj, hp in enumerate(prep.used_haps):
+                G_nu[ni, uj] = hg[hp] if hp < lh else 0
+        G_nsp = G_nu[:, prep.state_u]               # [n, S, P]
+        fallback = (G_nsp.max(axis=(1, 2)) > 9) & real
+
+        P = prep.state_u.shape[1]
+        gts_sorted = np.sort(G_nsp, axis=2)          # ascending == sorted(str) for <=9
+        shifts = (8 * np.arange(P - 1, -1, -1)).astype(np.int64)
+        keys_ns = (gts_sorted << shifts).sum(axis=2)  # [n, S]
+
+        # group-by per node: stable sort by key, segment sums, best = max
+        # score with smallest key on ties (ascending scan with strict >)
+        order = np.argsort(keys_ns, axis=1, kind="stable")
+        ksort = np.take_along_axis(keys_ns, order, axis=1)
+        psort = np.take_along_axis(post, order, axis=1)
+        gstart = np.ones((n, s), bool)
+        gstart[:, 1:] = ksort[:, 1:] != ksort[:, :-1]
+        gid = np.cumsum(gstart, axis=1) - 1           # group index per position
+        last_in_group = np.ones((n, s), bool)
+        last_in_group[:, :-1] = gstart[:, 1:]
+        csum = np.cumsum(psort, axis=1)
+        # csum value just before each group's start, forward-filled within
+        # the group (csum is nondecreasing, so maximum.accumulate fills)
+        shifted = np.zeros_like(csum)
+        shifted[:, 1:] = csum[:, :-1]
+        base = np.maximum.accumulate(
+            np.where(gstart, shifted, -np.inf), axis=1
+        )
+        totals_end = np.where(last_in_group, csum - base, -np.inf)  # [n, s]
+        best_score_n = totals_end.max(axis=1)
+        # first group (smallest key) achieving the max
+        win_pos = np.argmax(totals_end == best_score_n[:, None], axis=1)
+        win_group = np.take_along_axis(gid, win_pos[:, None], axis=1)[:, 0]
+
+        # winner state: first (by si) strictly-max post among winner-group
+        # states, matching `if max_post < post[si]` with max_post starting 0
+        in_win = gid == win_group[:, None]            # positions in sorted order
+        win_mask = np.zeros((n, s), bool)             # by original si
+        np.put_along_axis(win_mask, order, in_win, axis=1)
+        post_w = np.where(win_mask, post, -np.inf)
+        max_post_n = post_w.max(axis=1)
+        win_si = np.argmax(post_w == max_post_n[:, None], axis=1)
+        has_winner = max_post_n > 0.0
+
+        # NAK/CAK/UK, vectorized over the prep tensors
+        nak_nu = (prep.bits_u * prep.kmask[:, :, None]).sum(axis=1)   # [n, U]
+        cak_num = (prep.c[:, :, None] * prep.bits_u
+                   * prep.kmask[:, :, None]).sum(axis=1)              # [n, U]
+        uk_n = np.minimum(((prep.f <= 1) & prep.kmask).sum(axis=1), 255)
+
+        hap2u = {hp: uj for uj, hp in enumerate(prep.used_haps)}
+        for ni, node in enumerate(prep.node_refs):
+            if not real[ni]:
                 continue
-            a = alpha[wi, ni, :s].astype(np.float64)
-            b = beta[wi, ni, :s].astype(np.float64)
-            den = float((a * b).sum())
-            post = (a * b) / den if den != 0 else np.zeros_like(a)
-
-            hap_gt = node.hap_gt
-            geno_strs = [
-                "/".join(sorted(str(hap_gt[h]) for h in st))
-                for st in prep.states
-            ]
-            geno_sum: dict[str, float] = {}
-            for si in range(s):
-                geno_sum[geno_strs[si]] = geno_sum.get(geno_strs[si], 0.0) + post[si]
-            best_g, best_score = None, -1.0
-            for gs in sorted(geno_sum.keys()):
-                if geno_sum[gs] > best_score:
-                    best_score = geno_sum[gs]
-                    best_g = gs
-
-            act = prep.active_idx[ni]
-            cact = cov_u8[act].astype(np.int64)
-            fact = freq_np[act].astype(np.int64)
-            bact = bit_rows[act]
-            uk = int(min((fact <= 1).sum(), 255))
-            kmer_info = {}
-            for hp in prep.top_hap:
-                sel = bact[:, hp].astype(bool) if len(act) else np.zeros(0, bool)
-                kmer_info[hp] = (int(sel.sum()), int(cact[sel].sum()) if len(act) else 0)
-
             rec_out = PosteriorRecord()
-            max_post = 0.0
-            for si in range(s):
-                if geno_strs[si] != best_g:
-                    continue
-                rec_out.probability = float(best_score)
-                if max_post < post[si]:
-                    max_post = post[si]
+            if fallback[ni]:
+                _posterior_string_fallback(
+                    rec_out, prep, post[ni], node, nak_nu[ni], cak_num[ni],
+                    int(uk_n[ni]), hap2u,
+                )
+            else:
+                rec_out.probability = float(best_score_n[ni])
+                if has_winner[ni]:
+                    si = int(win_si[ni])
                     rec_out.hap_vec = list(prep.states[si])
                     rec_out.kmer_num_vec = []
                     rec_out.kmer_avecov_vec = []
                     for hp in rec_out.hap_vec:
-                        num, covsum = kmer_info.get(hp, (0, 0))
+                        uj = hap2u[hp]
+                        num = int(nak_nu[ni, uj])
                         rec_out.kmer_num_vec.append(num)
                         rec_out.kmer_avecov_vec.append(
-                            float(covsum) / num if num else 0.0
+                            float(cak_num[ni, uj]) / num if num else 0.0
                         )
-                    rec_out.uk = uk
+                    rec_out.uk = int(uk_n[ni])
             results[(prep.chrom, node.start)] = rec_out
     _t["post"] = _time.perf_counter() - _t0 - _t["prep"] - _t["emit"] - _t["fb"]
     log(
