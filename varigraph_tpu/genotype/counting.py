@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.fastq import stream_read_batches
+from ..io.fastq import stream_read_batches_multi
 from ..ops.kmer import sketch_codes
 from ..ops.table import KmerTable, count_merge
 from ..utils.log import log
@@ -59,15 +59,17 @@ def count_reads(
     ]
     for path in fastq_files:
         log(f"Collecting kmers from read on device: {path}", func="count_reads")
-        for codes, bases in stream_read_batches(path, batch_size, max_len, k):
-            slot = nbatches % _N_ACCUMULATORS
-            if mesh_step is not None:
-                accs[slot] = mesh_step(accs[slot], table.keys, jnp.asarray(codes))
-            else:
-                accs[slot] = _count_batch(accs[slot], table.keys,
-                                          jnp.asarray(codes), k)
-            read_base += bases
-            nbatches += 1
+    for codes, bases in stream_read_batches_multi(
+        fastq_files, batch_size, max_len, k
+    ):
+        slot = nbatches % _N_ACCUMULATORS
+        if mesh_step is not None:
+            accs[slot] = mesh_step(accs[slot], table.keys, jnp.asarray(codes))
+        else:
+            accs[slot] = _count_batch(accs[slot], table.keys,
+                                      jnp.asarray(codes), k)
+        read_base += bases
+        nbatches += 1
     cov = accs[0]
     for extra in accs[1:]:
         cov = cov + extra

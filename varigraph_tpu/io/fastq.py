@@ -147,3 +147,58 @@ def stream_read_batches(
             start += max_len - (k - 1)
     if row > 0:
         yield buf, bases
+
+
+def stream_read_batches_multi(
+    paths: list[str],
+    batch_size: int,
+    max_len: int,
+    k: int,
+    max_parallel: int = 4,
+) -> Iterator[tuple[np.ndarray, int]]:
+    """Merge batches from several files, each decompressed and packed on its
+    own background thread (up to ``max_parallel`` concurrently).
+
+    Per-file batch order is preserved but files interleave arbitrarily --
+    coverage counting is a commutative sum, so results are independent of
+    interleaving.  This parallelizes the gz decompression that bounds the
+    host feed (the reference streams files strictly sequentially,
+    src/fastq_kmer.cpp:41-63).
+    """
+    if len(paths) == 1:
+        yield from stream_read_batches(paths[0], batch_size, max_len, k)
+        return
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=2 * max_parallel)
+    errors: list[BaseException] = []
+
+    def worker(p: str):
+        try:
+            for item in stream_read_batches(p, batch_size, max_len, k):
+                q.put(item)
+        except BaseException as e:  # surfaced in the consumer
+            errors.append(e)
+        finally:
+            q.put(None)
+
+    pending = list(paths)
+
+    def start_next():
+        if pending:
+            p = pending.pop(0)
+            threading.Thread(target=worker, args=(p,), daemon=True).start()
+
+    for _ in range(min(max_parallel, len(paths))):
+        start_next()
+    finished = 0
+    while finished < len(paths):
+        item = q.get()
+        if item is None:
+            finished += 1
+            start_next()
+            continue
+        yield item
+    if errors:
+        raise errors[0]

@@ -61,30 +61,40 @@ def count_merge(cov: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
                 mask: jnp.ndarray) -> jnp.ndarray:
     """Add 1 to cov[i] for every (masked-in) query equal to keys[i].
 
-    TPU-native sort-merge join: XLA gathers on TPU run at scalar speed
-    (~4M elem/s measured), while sorts run at ~300M elem/s, so instead of
-    binary-searching each query we sort [keys ++ queries] together (keys
-    tie-break first), propagate the latest key value/index with scans, and
-    scatter-add the matches.  ~13x faster than the gather-based probe for
-    2.6M queries against a 100k table.
+    TPU-native sort-merge join, scatter-free.  Measured on v5e: XLA gathers
+    and scatters run at scalar-ish speed (~4M gathered elem/s; a 2.9M-element
+    scatter-add costs ~17 ms) while u64 sorts run ~2 ms for the same size --
+    so BOTH the join and the result placement are formulated as sorts:
 
+      1. sort [keys ++ queries] together (the key/query tag rides bit 7 of
+         the span byte, so keys tie-break first in a single-operand u64
+         sort); mark matched queries with cumsum/cummax scans.
+      2. compact the per-key matched-prefix counts back into table order
+         with a SECOND u64 sort of (run_idx<<32 | cumsum(matched)): the M
+         key slots sort to the front in table order, and adjacent
+         differences of their payloads are exactly the per-key counts.
+         cov update is then a plain elementwise add.
+
+    2.2x faster end-to-end than the scatter-add formulation (9.1 ms vs
+    19.7 ms for a [16384, 160] read batch against a 262k-key table).
+
+    Assumes keys are unique (the global k-mer table is) except for optional
+    duplicated padding keys that no query equals (they get count 0).
     Encoded k-mer values never equal the sentinel (the low span byte is
-    1..28), so masked-out queries are mapped to the sentinel and sort to the
-    end without matching.
+    1..28), so masked-out queries map to the sentinel and sort to the end
+    without matching.
     """
     m = keys.shape[0]
+    if m == 0:
+        return cov
     q = jnp.where(mask, queries, _SENTINEL)
-    # Fold the key/query tag into bit 7 of the span byte (spans are 1..28, so
-    # bits 5-7 of the low byte are always clear): a single-operand u64 sort
-    # with keys tie-breaking before equal queries.
     tag_bit = _U64(0x80)
     vals = jnp.concatenate([keys, q | tag_bit])
     vals_s = jax.lax.sort(vals)
     is_key = (vals_s & tag_bit) == 0
     vals_s = vals_s & ~tag_bit
-    # equal-value run structure: keys are unique and tie-break first, so a
-    # run contains at most one key and it sits at the run start.  Everything
-    # below is int32 cumsum/cummax -- cheap native scans.
+    # equal-value run structure: a run contains at most one (unique) key and
+    # it sits at the run start.
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), vals_s[1:] != vals_s[:-1]]
     )
@@ -95,8 +105,20 @@ def count_merge(cov: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
     )
     matched = (~is_key) & (latest_key_run == seg_id)
     run_idx = jnp.cumsum(is_key.astype(jnp.int32)) - 1
-    idx = jnp.where(matched, run_idx, m)  # m is out of bounds -> dropped
-    return cov.at[idx].add(matched.astype(jnp.uint32), mode="drop")
+    # compact cumsum(matched) at key positions into table order: key slots
+    # carry (run_idx << 32 | cm) and sort to the front (non-keys get a large
+    # sort key).  cm at a key position counts matches strictly before it, so
+    # counts[i] = cm_at_key[i+1] - cm_at_key[i], last = total - cm_at_key[-1].
+    cm = jnp.cumsum(matched.astype(jnp.int32))
+    packed = (
+        jnp.where(is_key, run_idx, jnp.int32(0x7FFFFFFF)).astype(_U64)
+        << _U64(32)
+    ) | cm.astype(_U64)
+    packed_s = jax.lax.sort(packed)
+    cmk = (packed_s[:m] & _U64(0xFFFFFFFF)).astype(jnp.uint32)
+    total = cm[-1].astype(jnp.uint32)
+    nxt = jnp.concatenate([cmk[1:], total[None]])
+    return cov + (nxt - cmk)
 
 
 def count_merge_chunked(cov: jnp.ndarray, keys: jnp.ndarray,
