@@ -170,15 +170,6 @@ def _lookup(keys: jnp.ndarray, queries: jnp.ndarray):
     return jnp.where(found, idx, -1), found
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _count_hits(hits: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
-                mask: jnp.ndarray) -> jnp.ndarray:
-    idx = binary_search(keys, queries)
-    idx = jnp.minimum(idx, keys.shape[0] - 1)
-    found = (keys[idx] == queries) & mask
-    return hits + jnp.sum(found.astype(jnp.uint64))
-
-
 def pack_hapbits(bitrows: np.ndarray) -> np.ndarray:
     """[M, H] 0/1 matrix -> [M, W] uint32 words (hap i -> word i>>5, bit i&31)."""
     m, h = bitrows.shape
