@@ -49,15 +49,23 @@ MAX_NODE_KMERS = 128
 # emission kernel
 # ======================================================================
 
+def _unpack_bits32(pk: jnp.ndarray) -> jnp.ndarray:
+    """[B, K, W] uint32 words -> [B, K, W*32] f32 0/1 (bit i of word w is
+    used-hap index w*32+i)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    b = (pk[..., None] >> shifts) & jnp.uint32(1)
+    return b.astype(jnp.float32).reshape(pk.shape[0], pk.shape[1], -1)
+
+
 @jax.jit
 def _emissions(
     c,          # [B, K] int32   raw coverage (saturated u8)
     f,          # [B, K] int32   graph frequency
     flag,       # [B, K] bool    ref flag
     kmask,      # [B, K] bool    valid k-mer
-    bits_u,     # [B, K, U] int32   global hap bits for used haps
-    local_u,    # [B, K, U] int32   node-local hap bits for used haps
-    gt0_u,      # [B, U] bool    hap's GT at this node == 0
+    bits_pk,    # [B, K, W] u32  packed global hap bits for used haps
+    local_pk,   # [B, K, W] u32  packed node-local hap bits for used haps
+    gt0_u,      # [B, U] bool    hap's GT at this node == 0 (U = W*32)
     state_cnt,  # [U, S] f32     count of used-hap u in state s's combo
     smask,      # [S] bool       valid state
     ave,        # f32 scalar     hap k-mer coverage
@@ -66,22 +74,27 @@ def _emissions(
 ):
     """Returns logE [B, S] (f32): per-state log emission scores.
 
-    The per-state haplotype copy-count sums (h and the verification
-    decrement) are contractions over the used-hap axis against the
-    state-count matrix -- MXU matmuls instead of a [B, K, S, P] gather.
-    Values are small integers, exact in f32.
+    Haplotype bitmasks arrive as packed uint32 words (32x less host->device
+    traffic than unpacked planes) and are unpacked on device; per-state
+    copy-count sums (h and the verification decrement) are contractions over
+    the used-hap axis against the state-count matrix -- MXU matmuls instead
+    of a [B, K, S, P] gather.  Values are small integers, exact in f32.
+    Padding u-columns are inert: their bits are 0, gt0_u is False, and
+    state_cnt rows are 0.
     """
     ave = jnp.float32(ave)
+    bits_u = _unpack_bits32(bits_pk)         # [B, K, U] f32 0/1
+    local_u = _unpack_bits32(local_pk)
     # hTmp per (b, k, u): ref-flag CI inclusion (genotype.cpp:702)
     cf = c.astype(jnp.float32)
     ci = flag[:, :, None] & gt0_u[:, None, :] & (
         (cf >= lower) & (cf <= upper)
     )[:, :, None]
-    htmp = jnp.where(ci, 1, bits_u)  # [B, K, U]
+    htmp = jnp.where(ci, 1.0, bits_u)  # [B, K, U]
 
     # h per (b, k, s): sum of copy counts over the state's haplotypes
     h = jnp.einsum(
-        "bku,us->bks", htmp.astype(jnp.float32), state_cnt,
+        "bku,us->bks", htmp, state_cnt,
         preferred_element_type=jnp.float32,
     )
 
@@ -91,9 +104,9 @@ def _emissions(
     verify_k = (cf <= lower) & (f >= 2)     # [B, K]
     dec_u = (
         verify_k[:, :, None]
-        & (htmp == 1)
+        & (htmp == 1.0)
         & need_u[:, None, :]
-        & (local_u == 0)
+        & (local_u == 0.0)
     )                                        # [B, K, U]
     dec = jnp.einsum(
         "bku,us->bks", dec_u.astype(jnp.float32), state_cnt,
