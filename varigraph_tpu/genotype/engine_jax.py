@@ -302,8 +302,8 @@ class _WindowPrep:
         self.f = np.zeros((n, K), np.int32)
         self.flag = np.zeros((n, K), bool)
         self.kmask = np.zeros((n, K), bool)
-        self.bits_u = np.zeros((n, K, U), np.int32)
-        self.local_u = np.zeros((n, K, U), np.int32)
+        self.bits_u = np.zeros((n, K, U), np.uint8)
+        self.local_u = np.zeros((n, K, U), np.uint8)
         self.gt0_u = np.zeros((n, U), bool)
         self.kind = np.ones(n, np.int32)
 
@@ -490,9 +490,10 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         return results
 
     # pad to common shapes (all axes power-of-two so shapes are reused
-    # across runs with different window/state counts)
+    # across runs with different window/state counts; U is a multiple of 32
+    # so hap bitmasks pack exactly into uint32 words for the device)
     S = _pow2(max(len(p_.states) for p_ in preps), 4)
-    U = _pow2(max(len(p_.used_haps) for p_ in preps), 4)
+    U = max(32, _pow2(max(len(p_.used_haps) for p_ in preps), 4))
     N = _pow2(max(len(p_.node_refs) for p_ in preps), 8)
     W = _pow2(len(preps), 1)
     K = MAX_NODE_KMERS
@@ -521,9 +522,16 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
             out[tuple(slice(0, d) for d in a.shape)] = a
             return out
 
-        # pad the node axis to N as well so the emission kernel compiles once
-        bits_u = padK(prep.bits_u, (N, K, U))
-        local_u = padK(prep.local_u, (N, K, U))
+        # pad the node axis to N as well so the emission kernel compiles once;
+        # hap bitmasks ship packed (u32 words), unpacked on device
+        from ..ops.table import pack_hapbits
+
+        bits_pk = pack_hapbits(
+            padK(prep.bits_u, (N, K, U)).reshape(N * K, U)
+        ).reshape(N, K, -1)
+        local_pk = pack_hapbits(
+            padK(prep.local_u, (N, K, U)).reshape(N * K, U)
+        ).reshape(N, K, -1)
         gt0_u = padK(prep.gt0_u, (N, U))
         state_cnt = padK(state_count_matrix(prep.state_u, U), (U, S))
         smask = np.zeros(S, bool)
@@ -533,7 +541,7 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
             jnp.asarray(padK(prep.c, (N, K))), jnp.asarray(padK(prep.f, (N, K))),
             jnp.asarray(padK(prep.flag, (N, K))),
             jnp.asarray(padK(prep.kmask, (N, K))),
-            jnp.asarray(bits_u), jnp.asarray(local_u),
+            jnp.asarray(bits_pk), jnp.asarray(local_pk),
             jnp.asarray(gt0_u), jnp.asarray(state_cnt), jnp.asarray(smask),
             np.float32(hap_cov), np.float32(prep.lower), np.float32(prep.upper),
             np.float32(np.log(p)), np.float32(np.log(q)), np.float32(log_prior),

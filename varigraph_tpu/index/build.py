@@ -99,12 +99,32 @@ def segment_genome_batches(seq: str, k: int,
         yield buf
 
 
+# shard the genome CBF across devices once the counter array reaches this
+# many cells (one v5e chip has 16 GB HBM; a human genome needs ~29 GB)
+_CBF_SHARD_MIN = int(os.environ.get("VARIGRAPH_CBF_SHARD_MIN", str(1 << 31)))
+
+
 def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
                     seed: int) -> CountingBloomFilter:
     """Count k-mer frequencies of the reference genome into a CBF
-    (reference make_mbf, construct_index.cpp:150-177)."""
+    (reference make_mbf, construct_index.cpp:150-177).  Filters too large
+    for one chip's HBM shard by position range across the local mesh."""
+    import jax
+
     log("Initiating computation of k-mer frequencies in the reference genome ...")
-    bf = CountingBloomFilter(n=genome_size - k + 1, p=0.01, seed=seed)
+    from ..ops.cbf import ShardedCBF, cbf_size
+
+    n = genome_size - k + 1
+    m_est = 1
+    while m_est < cbf_size(n, 0.01):
+        m_est *= 2
+    n_dev = jax.local_device_count()
+    if n_dev > 1 and m_est >= _CBF_SHARD_MIN:
+        bf = ShardedCBF(n=n, p=0.01, seed=seed)
+        log(f"Counting Bloom Filter sharded across {n_dev} devices "
+            f"({m_est / 2**30:.1f} GiB of counters)")
+    else:
+        bf = CountingBloomFilter(n=n, p=0.01, seed=seed)
     from ..ops.sketch_ref import encode_bases_np
 
     for chrom, seq in fasta_map.items():

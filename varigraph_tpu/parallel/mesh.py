@@ -125,6 +125,73 @@ def count_batch_hash_sharded(mesh: Mesh, k: int, cov_sh, keys_sh, codes):
 
 
 # ----------------------------------------------------------------------
+# position-range-sharded counting Bloom filter
+# ----------------------------------------------------------------------
+# A human-scale genome CBF (n = 3e9, p = 0.01 -> ~9.6 cells/elem) is ~29 GB
+# of uint8 counters -- larger than one chip's HBM.  Shard the counter array
+# by position range: every device computes all hash positions (replicated
+# VPU work, no communication), scatters only the positions in its own range
+# (write path has NO collective), and `count` takes a pmin across devices
+# (each device contributes its local counters, 255 elsewhere).
+
+def make_cbf_add_sharded(mesh: Mesh, m: int, num_hashes: int):
+    """Returns a jitted step: (filt_shard, hashes, mask, seeds) -> filt_shard.
+
+    ``m`` must be divisible by the mesh size (CBF sizes are powers of two).
+    """
+    from ..ops.cbf import _positions
+
+    n_dev = mesh.devices.size
+    assert m % n_dev == 0, (m, n_dev)
+    m_l = m // n_dev
+
+    def shard_fn(filt_l, hashes, mask, seeds):
+        pos = _positions(hashes, seeds, m)          # [kh, N] global
+        lo = jax.lax.axis_index("data").astype(jnp.uint64) * jnp.uint64(m_l)
+        rel = pos - lo
+        inrange = rel < jnp.uint64(m_l)             # unsigned: below lo wraps
+        local = jnp.where(inrange, rel, jnp.uint64(m_l))
+        inc = jnp.broadcast_to(mask.astype(jnp.uint32), local.shape)
+        hist = jnp.zeros((m_l,), jnp.uint32).at[local.reshape(-1)].add(
+            inc.reshape(-1), mode="drop"
+        )
+        return jnp.minimum(filt_l.astype(jnp.uint32) + hist, 255).astype(
+            jnp.uint8
+        )
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data"), P(), P(), P()), out_specs=P("data"),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_cbf_count_sharded(mesh: Mesh, m: int, num_hashes: int):
+    """Returns a jitted fn: (filt_shard, hashes, seeds) -> min counts [N]."""
+    from ..ops.cbf import _positions
+
+    n_dev = mesh.devices.size
+    assert m % n_dev == 0, (m, n_dev)
+    m_l = m // n_dev
+
+    def shard_fn(filt_l, hashes, seeds):
+        pos = _positions(hashes, seeds, m)
+        lo = jax.lax.axis_index("data").astype(jnp.uint64) * jnp.uint64(m_l)
+        rel = pos - lo
+        inrange = rel < jnp.uint64(m_l)
+        local = jnp.minimum(rel, jnp.uint64(m_l - 1)).astype(jnp.int32)
+        vals = jnp.where(inrange, filt_l[local], jnp.uint8(255))
+        vals = jax.lax.pmin(vals, "data")            # [kh, N] replicated
+        return jnp.min(vals, axis=0)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P("data"), P(), P()), out_specs=P(),
+    )
+    return jax.jit(mapped)
+
+
+# ----------------------------------------------------------------------
 # distributed coverage histogram (the 256-bin psum of SURVEY.md section 5.8)
 # ----------------------------------------------------------------------
 
