@@ -78,3 +78,24 @@ def test_hom_mode_parity(ready_index):
         assert _gt_of(gi, res_np) == _gt_of(gi, res_jax)
     finally:
         cfg.sample_type = "het"
+
+
+def test_window_group_chunking_matches(ready_index, monkeypatch):
+    """Forcing tiny window groups (device-memory bounding path) must not
+    change any call."""
+    import varigraph_tpu.genotype.engine_jax as ej
+
+    gi, cfg, hap_cov, _ = ready_index
+    cfg.transition_pro_type = "rec"
+    old_gran = cfg.granularity_bp
+    cfg.granularity_bp = 1000  # force several windows from the 6 kb genome
+    try:
+        res_full = genotype_jax(gi, cfg, hap_cov, cfg.seed)
+        monkeypatch.setattr(ej, "_WINDOW_GROUP", 1)
+        res_chunked = genotype_jax(gi, cfg, hap_cov, cfg.seed)
+    finally:
+        cfg.granularity_bp = old_gran
+    assert set(res_full.keys()) == set(res_chunked.keys())
+    for k in res_full:
+        assert res_full[k].hap_vec == res_chunked[k].hap_vec, k
+        assert res_full[k].probability == res_chunked[k].probability, k

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,10 @@ from .engine_np import (
 from .hapselect import dirichlet_top_haps, window_hap_counts
 
 MAX_NODE_KMERS = 128
+
+# windows scored per device round; bounds [W, N, S] alpha/beta memory at
+# genome scale (override: VARIGRAPH_WINDOW_CHUNK)
+_WINDOW_GROUP = int(os.environ.get("VARIGRAPH_WINDOW_CHUNK", "256"))
 
 
 # ======================================================================
@@ -495,79 +500,107 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
     S = _pow2(max(len(p_.states) for p_ in preps), 4)
     U = max(32, _pow2(max(len(p_.used_haps) for p_ in preps), 4))
     N = _pow2(max(len(p_.node_refs) for p_ in preps), 8)
-    W = _pow2(len(preps), 1)
     K = MAX_NODE_KMERS
     P = cfg.sample_ploidy
+    # windows are processed in fixed-size groups so device memory stays
+    # bounded at genome scale (a whole-genome run has thousands of 1 Mb
+    # windows; [W, N, S] alpha/beta at W=3000 would be several GB)
+    Wg = min(_pow2(len(preps), 1), _WINDOW_GROUP)
 
     fre_mode = cfg.transition_pro_type != "rec"
 
-    # ---- emissions per window (chunked over nodes) ----
-    logE_all = np.full((W, N, S), -np.inf, np.float32)
-    kind_all = np.zeros((W, N), np.int32)
-    lrf = np.zeros((W, N), np.float32)
-    lnrf = np.zeros((W, N), np.float32)
-    lrb = np.zeros((W, N), np.float32)
-    lnrb = np.zeros((W, N), np.float32)
-    ov_all = np.zeros((W, S, S), np.int32)
-    lw_all = np.full((W, S), 0.0, np.float32)
-    sm_all = np.zeros((W, S), bool)
+    from ..ops.table import pack_hapbits
 
-    for wi, prep in enumerate(preps):
-        n = len(prep.node_refs)
-        s = len(prep.states)
-        u = len(prep.used_haps)
-        # pad per-window tensors
-        def padK(a, shape, fill=0):
-            out = np.full(shape, fill, a.dtype)
-            out[tuple(slice(0, d) for d in a.shape)] = a
-            return out
+    def padK(a, shape, fill=0):
+        out = np.full(shape, fill, a.dtype)
+        out[tuple(slice(0, d) for d in a.shape)] = a
+        return out
 
-        # pad the node axis to N as well so the emission kernel compiles once;
-        # hap bitmasks ship packed (u32 words), unpacked on device
-        from ..ops.table import pack_hapbits
+    pad_logE = None  # device [N, S] filler for group padding (kind=0 rows)
 
-        bits_pk = pack_hapbits(
-            padK(prep.bits_u, (N, K, U)).reshape(N * K, U)
-        ).reshape(N, K, -1)
-        local_pk = pack_hapbits(
-            padK(prep.local_u, (N, K, U)).reshape(N * K, U)
-        ).reshape(N, K, -1)
-        gt0_u = padK(prep.gt0_u, (N, U))
-        state_cnt = padK(state_count_matrix(prep.state_u, U), (U, S))
-        smask = np.zeros(S, bool)
-        smask[:s] = True
+    for g0 in range(0, len(preps), Wg):
+        group = preps[g0 : g0 + Wg]
+        kind_all = np.zeros((Wg, N), np.int32)
+        lrf = np.zeros((Wg, N), np.float32)
+        lnrf = np.zeros((Wg, N), np.float32)
+        lrb = np.zeros((Wg, N), np.float32)
+        lnrb = np.zeros((Wg, N), np.float32)
+        ov_all = np.zeros((Wg, S, S), np.int32)
+        lw_all = np.full((Wg, S), 0.0, np.float32)
+        sm_all = np.zeros((Wg, S), bool)
+        dev_logE = []
 
-        logE = _emissions(
-            jnp.asarray(padK(prep.c, (N, K))), jnp.asarray(padK(prep.f, (N, K))),
-            jnp.asarray(padK(prep.flag, (N, K))),
-            jnp.asarray(padK(prep.kmask, (N, K))),
-            jnp.asarray(bits_pk), jnp.asarray(local_pk),
-            jnp.asarray(gt0_u), jnp.asarray(state_cnt), jnp.asarray(smask),
-            np.float32(hap_cov), np.float32(prep.lower), np.float32(prep.upper),
-            np.float32(np.log(p)), np.float32(np.log(q)), np.float32(log_prior),
+        _te = _time.perf_counter()
+        for wi, prep in enumerate(group):
+            n = len(prep.node_refs)
+            s = len(prep.states)
+            # pad the node axis to N as well so the emission kernel compiles
+            # once; hap bitmasks ship packed (u32 words)
+            bits_pk = pack_hapbits(
+                padK(prep.bits_u, (N, K, U)).reshape(N * K, U)
+            ).reshape(N, K, -1)
+            local_pk = pack_hapbits(
+                padK(prep.local_u, (N, K, U)).reshape(N * K, U)
+            ).reshape(N, K, -1)
+            gt0_u = padK(prep.gt0_u, (N, U))
+            state_cnt = padK(state_count_matrix(prep.state_u, U), (U, S))
+            smask = np.zeros(S, bool)
+            smask[:s] = True
+
+            logE = _emissions(
+                jnp.asarray(padK(prep.c, (N, K))),
+                jnp.asarray(padK(prep.f, (N, K))),
+                jnp.asarray(padK(prep.flag, (N, K))),
+                jnp.asarray(padK(prep.kmask, (N, K))),
+                jnp.asarray(bits_pk), jnp.asarray(local_pk),
+                jnp.asarray(gt0_u), jnp.asarray(state_cnt),
+                jnp.asarray(smask),
+                np.float32(hap_cov), np.float32(prep.lower),
+                np.float32(prep.upper),
+                np.float32(np.log(p)), np.float32(np.log(q)),
+                np.float32(log_prior),
+            )
+            dev_logE.append(logE)  # stays on device; stacked below
+            kind_all[wi, :n] = prep.kind
+            lrf[wi, :n] = prep.log_rec_f
+            lnrf[wi, :n] = prep.log_norec_f
+            lrb[wi, :n] = prep.log_rec_b
+            lnrb[wi, :n] = prep.log_norec_b
+            ov_all[wi, :s, :s] = prep.overlap
+            lw_all[wi, :s] = prep.log_w
+            sm_all[wi, :s] = True
+
+        if len(dev_logE) < Wg:
+            if pad_logE is None:
+                pad_logE = jnp.full((N, S), -jnp.inf, jnp.float32)
+            dev_logE.extend([pad_logE] * (Wg - len(dev_logE)))
+        _t["emit"] += _time.perf_counter() - _te
+
+        _t0b = _time.perf_counter()
+        alpha, beta = _forward_backward(
+            jnp.stack(dev_logE), jnp.asarray(kind_all),
+            jnp.asarray(lrf), jnp.asarray(lnrf), jnp.asarray(lrb),
+            jnp.asarray(lnrb),
+            jnp.asarray(ov_all), jnp.asarray(lw_all), jnp.asarray(sm_all),
+            jnp.bool_(fre_mode), P,
         )
-        logE_all[wi, :n] = np.asarray(logE)[:n]
-        kind_all[wi, :n] = prep.kind
-        lrf[wi, :n] = prep.log_rec_f
-        lnrf[wi, :n] = prep.log_norec_f
-        lrb[wi, :n] = prep.log_rec_b
-        lnrb[wi, :n] = prep.log_norec_b
-        ov_all[wi, :s, :s] = prep.overlap
-        lw_all[wi, :s] = prep.log_w
-        sm_all[wi, :s] = True
+        alpha = np.asarray(alpha)
+        beta = np.asarray(beta)
+        _t["fb"] += _time.perf_counter() - _t0b
 
-    _t["emit"] = _time.perf_counter() - _t0 - _t["prep"]
-    _t0b = _time.perf_counter()
-    alpha, beta = _forward_backward(
-        jnp.asarray(logE_all), jnp.asarray(kind_all),
-        jnp.asarray(lrf), jnp.asarray(lnrf), jnp.asarray(lrb), jnp.asarray(lnrb),
-        jnp.asarray(ov_all), jnp.asarray(lw_all), jnp.asarray(sm_all),
-        jnp.bool_(fre_mode), P,
+        _tp = _time.perf_counter()
+        _posterior_window_group(group, alpha, beta, results)
+        _t["post"] += _time.perf_counter() - _tp
+
+    log(
+        "engine timing: prep {prep:.2f}s emit {emit:.2f}s fb {fb:.2f}s "
+        "posterior {post:.2f}s".format(**_t),
+        func="genotype_jax",
     )
-    alpha = np.asarray(alpha)
-    beta = np.asarray(beta)
-    _t["fb"] = _time.perf_counter() - _t0b
+    return results
 
+
+def _posterior_window_group(group, alpha, beta, results):
     # ---- posterior on host (genotype.cpp:1371-1546), vectorized per window ----
     # Genotype grouping uses string-sorted keys in the reference
     # (std::map<string>, genotype.cpp:1441-1459).  For GT values <= 9 the
@@ -575,7 +608,7 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
     # lexicographic order of the ascending-sorted numeric tuples, so groups
     # are formed with packed integer keys; rare nodes carrying GT >= 10 fall
     # back to the exact string path.
-    for wi, prep in enumerate(preps):
+    for wi, prep in enumerate(group):
         s = len(prep.states)
         n = len(prep.node_refs)
         if n == 0:
@@ -670,10 +703,3 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
                         )
                     rec_out.uk = int(uk_n[ni])
             results[(prep.chrom, node.start)] = rec_out
-    _t["post"] = _time.perf_counter() - _t0 - _t["prep"] - _t["emit"] - _t["fb"]
-    log(
-        "engine timing: prep {prep:.2f}s emit {emit:.2f}s fb {fb:.2f}s "
-        "posterior {post:.2f}s".format(**_t),
-        func="genotype_jax",
-    )
-    return results
