@@ -143,9 +143,12 @@ def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
 def _sketch_contexts(contexts: list[str], k: int) -> list[np.ndarray]:
     """Sketch many context strings on device; returns per-context unique
     k-mer arrays (uint64).  Contexts are bucketed by length to bound padding
-    waste."""
+    waste.  Progress is logged every ~5% (reference construct_index.cpp:
+    687-689)."""
     order = sorted(range(len(contexts)), key=lambda i: len(contexts[i]))
     results: list[np.ndarray | None] = [None] * len(contexts)
+    done = 0
+    next_pct = 5
     i = 0
     while i < len(order):
         # grow a batch while padded area stays within budget
@@ -178,6 +181,11 @@ def _sketch_contexts(contexts: list[str], k: int) -> list[np.ndarray]:
         emit = np.asarray(emit)
         for row, b in enumerate(batch_idx):
             results[b] = np.unique(values[row][emit[row]])
+        done += len(batch_idx)
+        pct = 100 * done // max(len(contexts), 1)
+        if pct >= next_pct:
+            log(f"Indexing progress: {pct}%")
+            next_pct = (pct // 5 + 1) * 5
     return results  # type: ignore[return-value]
 
 
@@ -412,7 +420,6 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     base = np.where(g_fre >= 2, g_fre, 1)
     g_f = np.minimum(base + g_n - 1, 255)
 
-    log("Indexing progress: 100%")
     rows = np.unpackbits(g_bits, axis=1, bitorder="little")[:, :nhap]
     return g_kh, g_f.astype(np.uint8), rows, g_flag
 
