@@ -149,8 +149,19 @@ def bench_ours(paths):
 
 def bench_reference(paths):
     """Measure the reference binary's FASTQ k-mer collection phase."""
-    ref_bin = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".ref_build", "varigraph")
+    build_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".ref_build")
+    ref_bin = os.path.join(build_dir, "varigraph")
+    if not os.path.exists(ref_bin) and os.path.isdir("/root/reference"):
+        log("building reference binary (one-time)...")
+        os.makedirs(build_dir, exist_ok=True)
+        try:
+            subprocess.run(["cmake", "/root/reference"], cwd=build_dir,
+                           capture_output=True, timeout=600, check=True)
+            subprocess.run(["make", "-j2"], cwd=build_dir,
+                           capture_output=True, timeout=900, check=True)
+        except Exception as e:
+            log(f"reference build failed: {e}")
     if not os.path.exists(ref_bin):
         log("reference binary not found; vs_baseline = 0")
         return None

@@ -111,15 +111,18 @@ def test_count_merge_banded_matches_flat():
     mask = rng.random(4096) < 0.9
     exp = count_merge(jnp.zeros(m, jnp.uint32), jnp.asarray(keys),
                       jnp.asarray(q), jnp.asarray(mask))
-    got = count_merge_banded(jnp.zeros(m, jnp.uint32), jnp.asarray(keys),
-                             jnp.asarray(q), jnp.asarray(mask), interpret=True)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    for tb, qband in ((128, 4096), (64, 2048), (128, 2048)):
+        got = count_merge_banded(jnp.zeros(m, jnp.uint32), jnp.asarray(keys),
+                                 jnp.asarray(q), jnp.asarray(mask),
+                                 interpret=True, tb=tb, qband=qband)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
 
-    # overflow: one k-mer repeated beyond the band width -> fallback
-    q2 = np.full(8192, keys[3], np.uint64)
+    # overflow: one k-mer repeated beyond two band tiles -> fallback
+    n2 = 3 * 4096 + 1
+    q2 = np.full(n2, keys[3], np.uint64)
     exp2 = count_merge(jnp.zeros(m, jnp.uint32), jnp.asarray(keys),
-                       jnp.asarray(q2), jnp.ones(8192, bool))
+                       jnp.asarray(q2), jnp.ones(n2, bool))
     got2 = count_merge_banded(jnp.zeros(m, jnp.uint32), jnp.asarray(keys),
-                              jnp.asarray(q2), jnp.ones(8192, bool),
+                              jnp.asarray(q2), jnp.ones(n2, bool),
                               interpret=True)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(exp2))

@@ -23,10 +23,26 @@ from ..ops.table import KmerTable, count_merge
 from ..utils.log import log
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
 def _count_batch(cov: jnp.ndarray, keys: jnp.ndarray, codes: jnp.ndarray, k: int):
     values, emit = sketch_codes(codes, k)
-    return count_merge(cov, keys, values.reshape(-1), emit.reshape(-1))
+    q, em = values.reshape(-1), emit.reshape(-1)
+    if _on_tpu():
+        # Pallas banded merge-join: 7.7 ms/batch vs 16.9 ms for the two-sort
+        # join at bench shapes (v5e, tools/join_probe6.py); falls back to the
+        # two-sort join inside jit when a query band overflows its two tiles
+        # (e.g. one k-mer repeated >4k times in a batch)
+        from ..ops.join_pallas import count_merge_banded
+
+        return count_merge_banded(cov, keys, q, em)
+    return count_merge(cov, keys, q, em)
 
 
 _N_ACCUMULATORS = 3  # round-robin coverage buffers so batch n+1's sort can

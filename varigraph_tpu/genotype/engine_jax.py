@@ -535,13 +535,18 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
             n = len(prep.node_refs)
             s = len(prep.states)
             # pad the node axis to N as well so the emission kernel compiles
-            # once; hap bitmasks ship packed (u32 words)
-            bits_pk = pack_hapbits(
-                padK(prep.bits_u, (N, K, U)).reshape(N * K, U)
-            ).reshape(N, K, -1)
-            local_pk = pack_hapbits(
-                padK(prep.local_u, (N, K, U)).reshape(N * K, U)
-            ).reshape(N, K, -1)
+            # once; hap bitmasks ship packed (u32 words).  Pack the n real
+            # rows first, THEN pad to N: packing scales with the window's
+            # actual node count, not the padded power-of-two shape.
+            Ww = U // 32
+            bits_pk = padK(
+                pack_hapbits(prep.bits_u.reshape(n * K, -1)).reshape(n, K, -1),
+                (N, K, Ww),
+            )
+            local_pk = padK(
+                pack_hapbits(prep.local_u.reshape(n * K, -1)).reshape(n, K, -1),
+                (N, K, Ww),
+            )
             gt0_u = padK(prep.gt0_u, (N, U))
             state_cnt = padK(state_count_matrix(prep.state_u, U), (U, S))
             smask = np.zeros(S, bool)

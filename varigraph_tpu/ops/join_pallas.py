@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .table import _SENTINEL, _U64, binary_search, count_merge
 
 TABLE_BLOCK = 128   # keys per grid step (output block)
-QBAND = 2048        # query-band tile width (band may span two tiles)
+QBAND = 4096        # query-band tile width (band may span two tiles)
 
 _U32MASK = _U64(0xFFFFFFFF)
 
@@ -73,7 +73,8 @@ def _band_kernel(jref, khi_ref, klo_ref, qhi0_ref, qlo0_ref, qhi1_ref,
 
 
 def _band_counts(keys_pad: jnp.ndarray, q_sorted_pad: jnp.ndarray,
-                 jblk: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+                 jblk: jnp.ndarray, interpret: bool = False,
+                 tb: int = TABLE_BLOCK, qband: int = QBAND) -> jnp.ndarray:
     """Per-key equal-query counts.  keys_pad [Mb*TB] u64 sorted (padded),
     q_sorted_pad [Qb*QBAND] u64 sorted (padded with sentinel), jblk [Mb]
     int32 aligned query-tile index per key block.
@@ -81,10 +82,10 @@ def _band_counts(keys_pad: jnp.ndarray, q_sorted_pad: jnp.ndarray,
     Arrays carry an explicit middle dim of 1 so the (1, 1, width) block
     shape satisfies Mosaic's tiling rule (second-to-last block dim must be
     8-divisible OR equal to the array dim)."""
-    mb = keys_pad.shape[0] // TABLE_BLOCK
-    qb = q_sorted_pad.shape[0] // QBAND
-    khi, klo = _split64(keys_pad.reshape(mb, TABLE_BLOCK, 1))
-    qhi, qlo = _split64(q_sorted_pad.reshape(qb, 1, QBAND))
+    mb = keys_pad.shape[0] // tb
+    qb = q_sorted_pad.shape[0] // qband
+    khi, klo = _split64(keys_pad.reshape(mb, tb, 1))
+    qhi, qlo = _split64(q_sorted_pad.reshape(qb, 1, qband))
 
     # index-map constants must stay 32-bit: with jax_enable_x64 a literal 0
     # traces as i64, which Mosaic cannot legalize in the transform function
@@ -95,18 +96,18 @@ def _band_counts(keys_pad: jnp.ndarray, q_sorted_pad: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(mb,),
         in_specs=[
-            pl.BlockSpec((1, TABLE_BLOCK, 1), lambda b, j: (b, z, z)),
-            pl.BlockSpec((1, TABLE_BLOCK, 1), lambda b, j: (b, z, z)),
-            pl.BlockSpec((1, 1, QBAND), lambda b, j: (j[b], z, z)),
-            pl.BlockSpec((1, 1, QBAND), lambda b, j: (j[b], z, z)),
-            pl.BlockSpec((1, 1, QBAND), lambda b, j: (j[b] + one, z, z)),
-            pl.BlockSpec((1, 1, QBAND), lambda b, j: (j[b] + one, z, z)),
+            pl.BlockSpec((1, tb, 1), lambda b, j: (b, z, z)),
+            pl.BlockSpec((1, tb, 1), lambda b, j: (b, z, z)),
+            pl.BlockSpec((1, 1, qband), lambda b, j: (j[b], z, z)),
+            pl.BlockSpec((1, 1, qband), lambda b, j: (j[b], z, z)),
+            pl.BlockSpec((1, 1, qband), lambda b, j: (j[b] + one, z, z)),
+            pl.BlockSpec((1, 1, qband), lambda b, j: (j[b] + one, z, z)),
         ],
-        out_specs=pl.BlockSpec((1, TABLE_BLOCK, 1), lambda b, j: (b, z, z)),
+        out_specs=pl.BlockSpec((1, tb, 1), lambda b, j: (b, z, z)),
     )
     out = pl.pallas_call(
         _band_kernel,
-        out_shape=jax.ShapeDtypeStruct((mb, TABLE_BLOCK, 1), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((mb, tb, 1), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(jblk, khi, klo, qhi, qlo, qhi, qlo)
@@ -119,7 +120,8 @@ def _pad_pow(n: int, mult: int) -> int:
 
 def count_merge_banded(cov: jnp.ndarray, keys: jnp.ndarray,
                        queries: jnp.ndarray, mask: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       tb: int = TABLE_BLOCK, qband: int = QBAND) -> jnp.ndarray:
     """Drop-in replacement for ops.table.count_merge using the Pallas
     banded join; falls back to the two-sort join when a band overflows.
 
@@ -129,7 +131,7 @@ def count_merge_banded(cov: jnp.ndarray, keys: jnp.ndarray,
     m = keys.shape[0]
     if m == 0:
         return cov
-    mp = _pad_pow(m, TABLE_BLOCK)
+    mp = _pad_pow(m, tb)
     if mp != m:
         # pad key: sorts last, span byte 0x3F is never a real span and
         # differs from the query sentinel's 0xFF
@@ -141,19 +143,19 @@ def count_merge_banded(cov: jnp.ndarray, keys: jnp.ndarray,
 
     q = jnp.where(mask, queries, _SENTINEL)
     qn = q.shape[0]
-    qp = max(_pad_pow(qn, QBAND), 2 * QBAND)  # >= 2 tiles for the j+1 spec
+    qp = max(_pad_pow(qn, qband), 2 * qband)  # >= 2 tiles for the j+1 spec
     if qp != qn:
         q = jnp.concatenate([q, jnp.full((qp - qn,), _SENTINEL)])
     q_sorted = jax.lax.sort(q)
-    qb = qp // QBAND
+    qb = qp // qband
 
-    mb = mp // TABLE_BLOCK
-    blockmin = keys_pad.reshape(mb, TABLE_BLOCK)[:, 0]
-    blockmax = keys_pad.reshape(mb, TABLE_BLOCK)[:, -1]
+    mb = mp // tb
+    blockmin = keys_pad.reshape(mb, tb)[:, 0]
+    blockmax = keys_pad.reshape(mb, tb)[:, -1]
     # tile mapping via the per-tile last values (a strided slice, qb
     # elements) -- searching the full q_sorted would gather from a >VMEM
     # HBM array at scalar speed (~9 ms measured)
-    tile_last = q_sorted[QBAND - 1 :: QBAND]          # [qb]
+    tile_last = q_sorted[qband - 1 :: qband]          # [qb]
     t0 = binary_search(tile_last, blockmin)           # first tile that can
     #                                                   hold a query == blockmin
     t1 = binary_search(tile_last, blockmax + _U64(1))  # tile holding the tail
@@ -162,7 +164,8 @@ def count_merge_banded(cov: jnp.ndarray, keys: jnp.ndarray,
     fits = jnp.all(t1 <= jblk + 1)
 
     def banded(_):
-        counts = _band_counts(keys_pad, q_sorted, jblk, interpret=interpret)
+        counts = _band_counts(keys_pad, q_sorted, jblk, interpret=interpret,
+                              tb=tb, qband=qband)
         return cov + counts[:m]
 
     def fallback(_):

@@ -170,10 +170,25 @@ def _lookup(keys: jnp.ndarray, queries: jnp.ndarray):
     return jnp.where(found, idx, -1), found
 
 
+import sys as _sys
+
+_LITTLE = _sys.byteorder == "little"
+
+
 def pack_hapbits(bitrows: np.ndarray) -> np.ndarray:
     """[M, H] 0/1 matrix -> [M, W] uint32 words (hap i -> word i>>5, bit i&31)."""
     m, h = bitrows.shape
     w = (h + 31) // 32
+    if _LITTLE:
+        # np.packbits(bitorder="little") puts column 8j+b into bit b of byte
+        # j; a little-endian u32 view then maps column 32w+i to bit i of
+        # word w -- exactly the layout above, at memcpy-ish speed.
+        if h == w * 32 and bitrows.dtype == np.uint8 and bitrows.flags.c_contiguous:
+            src = bitrows
+        else:
+            src = np.zeros((m, w * 32), dtype=np.uint8)
+            src[:, :h] = bitrows
+        return np.packbits(src, axis=1, bitorder="little").view(np.uint32)
     padded = np.zeros((m, w * 32), dtype=np.uint32)
     padded[:, :h] = bitrows.astype(np.uint32)
     words = padded.reshape(m, w, 32)
