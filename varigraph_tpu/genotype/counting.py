@@ -55,14 +55,19 @@ def count_reads(
     k: int,
     batch_size: int,
     max_len: int,
+    n_devices: int = 0,
 ) -> int:
-    """Stream all files, count k-mers into table.cov.  Returns total bases."""
+    """Stream all files, count k-mers into table.cov.  Returns total bases.
+
+    n_devices: device-mesh width (config.mesh_devices); 0 = all local."""
     read_base = 0
     nbatches = 0
 
     # multi-device: shard each batch across the mesh, psum the count deltas
     # (parallel/mesh.py); single device uses the donated fused step
     n_dev = jax.local_device_count()
+    if n_devices:
+        n_dev = min(n_devices, n_dev)
     mesh_step = None
     if n_dev > 1 and batch_size % n_dev == 0:
         from ..parallel.mesh import make_count_batch_replicated, make_mesh

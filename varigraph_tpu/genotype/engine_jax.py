@@ -40,6 +40,7 @@ from .engine_np import (
     get_error_param,
     make_windows,
     poisson_interval,
+    window_rng_seed,
 )
 from .hapselect import dirichlet_top_haps, window_hap_counts
 
@@ -48,6 +49,10 @@ MAX_NODE_KMERS = 128
 # windows scored per device round; bounds [W, N, S] alpha/beta memory at
 # genome scale (override: VARIGRAPH_WINDOW_CHUNK)
 _WINDOW_GROUP = int(os.environ.get("VARIGRAPH_WINDOW_CHUNK", "256"))
+# nodes per emission-kernel call; bounds the [n, K, S] emission intermediates
+# when a window holds thousands of nodes (at N=8192, K=128, S=256 a single
+# f32 intermediate is 1 GB; chunks of 1024 keep it ~128 MB)
+_NODE_CHUNK = int(os.environ.get("VARIGRAPH_NODE_CHUNK", "1024"))
 
 
 # ======================================================================
@@ -245,9 +250,12 @@ def _transition_logs(dist: np.ndarray, nhap: int):
 
 
 class _WindowPrep:
-    """Host-side gather of one window's tensors."""
+    """Host-side gather of one window's tensors.
 
-    def __init__(self, gi, cfg, chrom, lo, hi, rng, cov_u8, freq_np, bit_rows,
+    Haplotype bits arrive packed ([M, W] uint32); only this window's gathered
+    rows are unpacked, so host memory stays bounded at genome scale."""
+
+    def __init__(self, gi, cfg, chrom, lo, hi, rng, cov_u8, freq_np, hap_words,
                  refflag, hap_cov):
         self.chrom = chrom
         nodes = gi.graph.nodes[chrom]
@@ -259,7 +267,7 @@ class _WindowPrep:
             for i in range(lo, hi)
             if nodes[i].is_variant and nodes[i].table_idx is not None
         ]
-        counts = window_hap_counts(idx_list, cov_u8, freq_np, bit_rows)
+        counts = window_hap_counts(idx_list, cov_u8, freq_np, hap_words, nhap)
         haploid_num = min(cfg.haploid_num, nhap)
         self.top_hap, self.score_map = dirichlet_top_haps(counts, haploid_num, rng)
         self.states = increment_vector(
@@ -334,7 +342,10 @@ class _WindowPrep:
                 [nd.local_packed for nd in self.node_refs
                  if nd.table_idx is not None and len(nd.table_idx)]
             )
-            keep_flat = bit_rows[flat_idx][:, self.top_hap].any(axis=1)
+            from ..ops.table import unpack_hapbits
+
+            rows_flat = unpack_hapbits(hap_words[flat_idx], nhap)
+            keep_flat = rows_flat[:, self.top_hap].any(axis=1)
             act_flat = flat_idx[keep_flat]
             act_node = node_of[keep_flat]
             counts = np.bincount(act_node, minlength=n)
@@ -346,7 +357,7 @@ class _WindowPrep:
             self.f[act_node, pos] = freq_np[act_flat]
             self.flag[act_node, pos] = refflag[act_flat]
             self.kmask[act_node, pos] = True
-            self.bits_u[act_node, pos] = bit_rows[act_flat][:, self.used_haps]
+            self.bits_u[act_node, pos] = rows_flat[keep_flat][:, self.used_haps]
             unpacked = np.unpackbits(
                 all_local[keep_flat], axis=1, bitorder="little"
             )
@@ -451,11 +462,11 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
     _t = {"prep": 0.0, "emit": 0.0, "fb": 0.0, "post": 0.0}
     _t0 = _time.perf_counter()
     if host_arrays is not None:
-        cov_u8, freq_np, bit_rows, refflag = host_arrays
+        cov_u8, freq_np, hap_words, refflag = host_arrays
     else:
         cov_u8 = gi.table.cov_u8()
         freq_np = gi.table.freq_np()
-        bit_rows = gi.table.hapbit_rows_np()
+        hap_words = gi.table.hap_words_np()
         refflag = gi.table.refflag_np()
 
     # geometric-model scalars
@@ -476,10 +487,10 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         windows = make_windows(starts, chrom_len, cfg.granularity_bp)
         for w_id, (lo, hi) in enumerate(windows):
             rng = np.random.Generator(
-                np.random.PCG64([seed, hash(chrom) & 0x7FFFFFFF, w_id])
+                np.random.PCG64([seed, window_rng_seed(chrom), w_id])
             )
             prep = _WindowPrep(gi, cfg, chrom, lo, hi, rng, cov_u8, freq_np,
-                               bit_rows, refflag, hap_cov)
+                               hap_words, refflag, hap_cov)
             log(
                 f"Haplotype selection results for {chrom}-"
                 f"{starts[lo] if lo < len(starts) else 0}: "
@@ -531,6 +542,7 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         dev_logE = []
 
         _te = _time.perf_counter()
+        Nc = min(N, _NODE_CHUNK)
         for wi, prep in enumerate(group):
             n = len(prep.node_refs)
             s = len(prep.states)
@@ -548,23 +560,36 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
                 (N, K, Ww),
             )
             gt0_u = padK(prep.gt0_u, (N, U))
-            state_cnt = padK(state_count_matrix(prep.state_u, U), (U, S))
+            state_cnt = jnp.asarray(
+                padK(state_count_matrix(prep.state_u, U), (U, S))
+            )
             smask = np.zeros(S, bool)
             smask[:s] = True
+            smask = jnp.asarray(smask)
+            c_p = padK(prep.c, (N, K))
+            f_p = padK(prep.f, (N, K))
+            flag_p = padK(prep.flag, (N, K))
+            kmask_p = padK(prep.kmask, (N, K))
 
-            logE = _emissions(
-                jnp.asarray(padK(prep.c, (N, K))),
-                jnp.asarray(padK(prep.f, (N, K))),
-                jnp.asarray(padK(prep.flag, (N, K))),
-                jnp.asarray(padK(prep.kmask, (N, K))),
-                jnp.asarray(bits_pk), jnp.asarray(local_pk),
-                jnp.asarray(gt0_u), jnp.asarray(state_cnt),
-                jnp.asarray(smask),
-                np.float32(hap_cov), np.float32(prep.lower),
-                np.float32(prep.upper),
-                np.float32(np.log(p)), np.float32(np.log(q)),
-                np.float32(log_prior),
-            )
+            # node axis in fixed-size chunks: bounds the [Nc, K, S] emission
+            # intermediates regardless of how many nodes a window holds
+            parts = []
+            for c0 in range(0, N, Nc):
+                c1 = c0 + Nc
+                parts.append(_emissions(
+                    jnp.asarray(c_p[c0:c1]),
+                    jnp.asarray(f_p[c0:c1]),
+                    jnp.asarray(flag_p[c0:c1]),
+                    jnp.asarray(kmask_p[c0:c1]),
+                    jnp.asarray(bits_pk[c0:c1]),
+                    jnp.asarray(local_pk[c0:c1]),
+                    jnp.asarray(gt0_u[c0:c1]), state_cnt, smask,
+                    np.float32(hap_cov), np.float32(prep.lower),
+                    np.float32(prep.upper),
+                    np.float32(np.log(p)), np.float32(np.log(q)),
+                    np.float32(log_prior),
+                ))
+            logE = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             dev_logE.append(logE)  # stays on device; stacked below
             kind_all[wi, :n] = prep.kind
             lrf[wi, :n] = prep.log_rec_f

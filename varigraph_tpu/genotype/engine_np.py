@@ -45,6 +45,15 @@ class PosteriorRecord:
     uk: int = 0
 
 
+def window_rng_seed(chrom: str) -> int:
+    """Stable per-chromosome RNG salt.  Python's str hash is salted per
+    process (PYTHONHASHSEED), which would make two CLI runs with the same
+    --seed draw different Dirichlet samples; crc32 is process-stable."""
+    import zlib
+
+    return zlib.crc32(chrom.encode()) & 0x7FFFFFFF
+
+
 def make_windows(starts: list[int], chrom_len: int, granularity: int):
     """Window scheduling (genotype.cpp:99-141): position-stepped windows
     expressed as [node_lo, node_hi) index ranges over ALL nodes."""
@@ -167,7 +176,7 @@ class _WindowEngine:
     def __init__(self, gi: GraphIndex, cfg, hap_cov: float, chrom: str,
                  lo: int, hi: int, rng: np.random.Generator,
                  cov_u8: np.ndarray, freq: np.ndarray, bit_rows: np.ndarray,
-                 refflag: np.ndarray):
+                 refflag: np.ndarray, hap_words: np.ndarray):
         self.gi = gi
         self.cfg = cfg
         self.hap_cov = np.float32(hap_cov)
@@ -178,6 +187,7 @@ class _WindowEngine:
         self.freq = freq
         self.bit_rows = bit_rows
         self.refflag = refflag
+        self.hap_words = hap_words
         self.nhap = gi.nhap
 
         # ---- haplotype selection (genotype.cpp:226-239,519-594) ----
@@ -186,7 +196,9 @@ class _WindowEngine:
             for i in range(lo, hi)
             if self.nodes[i].is_variant and self.nodes[i].table_idx is not None
         ]
-        counts = window_hap_counts(idx_list, cov_u8, freq, bit_rows)
+        counts = window_hap_counts(
+            idx_list, cov_u8, freq, self.hap_words, self.nhap
+        )
         haploid_num = min(cfg.haploid_num, self.nhap)
         self.top_hap, self.score_map = dirichlet_top_haps(counts, haploid_num, rng)
         self.states = increment_vector(
@@ -510,14 +522,21 @@ class _WindowEngine:
 
 def genotype_np(gi: GraphIndex, cfg, hap_cov: float, seed: int,
                 host_arrays=None) -> dict[tuple[str, int], PosteriorRecord]:
-    """Run the oracle engine over all chromosomes/windows."""
+    """Run the oracle engine over all chromosomes/windows.
+
+    host_arrays = (cov_u8, freq, hap_words [M, W] u32 packed, refflag); the
+    oracle unpacks the full bit matrix up front (debug/small inputs only --
+    the device engine never does)."""
+    from ..ops.table import unpack_hapbits
+
     if host_arrays is not None:
-        cov_u8, freq, bit_rows, refflag = host_arrays
+        cov_u8, freq, hap_words, refflag = host_arrays
     else:
         cov_u8 = gi.table.cov_u8()
         freq = gi.table.freq_np()
-        bit_rows = gi.table.hapbit_rows_np()
+        hap_words = gi.table.hap_words_np()
         refflag = gi.table.refflag_np()
+    bit_rows = unpack_hapbits(hap_words, gi.nhap)
 
     results: dict[tuple[str, int], PosteriorRecord] = {}
     for chrom in sorted(gi.graph.nodes.keys()):
@@ -528,11 +547,11 @@ def genotype_np(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         windows = make_windows(starts, chrom_len, cfg.granularity_bp)
         for w_id, (lo, hi) in enumerate(windows):
             rng = np.random.Generator(
-                np.random.PCG64([seed, hash(chrom) & 0x7FFFFFFF, w_id])
+                np.random.PCG64([seed, window_rng_seed(chrom), w_id])
             )
             eng = _WindowEngine(
                 gi, cfg, hap_cov, chrom, lo, hi, rng,
-                cov_u8, freq, bit_rows, refflag,
+                cov_u8, freq, bit_rows, refflag, hap_words,
             )
             log(
                 f"Haplotype selection results for {chrom}-"

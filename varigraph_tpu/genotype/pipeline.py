@@ -90,7 +90,7 @@ def genotype_one_sample(
     else:
         read_base = count_reads(
             gi.table, fastq_files, gi.kmer_len, cfg.read_batch_size,
-            cfg.max_read_len,
+            cfg.max_read_len, n_devices=cfg.mesh_devices,
         )
         if counts_out:
             save_counts(gi, counts_out, read_base)
@@ -101,9 +101,9 @@ def genotype_one_sample(
     _t0 = _time.perf_counter()
     cov_u8 = gi.table.cov_u8()
     freq = gi.table.freq_np()
-    bit_rows = gi.table.hapbit_rows_np()
+    hap_words = gi.table.hap_words_np()  # packed; never unpacked globally
     hap_cov = estimate_hap_coverage(
-        cov_u8, freq, bit_rows, gi.vcf_ploidy, cfg.sample_ploidy,
+        cov_u8, freq, hap_words, gi.nhap, gi.vcf_ploidy, cfg.sample_ploidy,
         read_depth, cfg.use_depth,
     )
     log(f"phase timing: coverage model {_time.perf_counter()-_t0:.2f}s",
@@ -119,7 +119,7 @@ def genotype_one_sample(
             func="genotype")
         cfg.engine = "np"
     _t0 = _time.perf_counter()
-    host_arrays = (cov_u8, freq, bit_rows, gi.table.refflag_np())
+    host_arrays = (cov_u8, freq, hap_words, gi.table.refflag_np())
     if cfg.engine == "np":
         results = genotype_np(gi, cfg, hap_cov, cfg.seed, host_arrays)
     else:

@@ -1,18 +1,19 @@
-"""Pallas banded merge-join for read k-mer counting (EXPERIMENTAL).
+"""Pallas banded merge-join for read k-mer counting.
 
-Status (measured on v5e, 2026-08-18): correct on real TPU but NOT yet
-faster than the two-sort join (22.9 vs 17.0 ms/batch at bench shapes) --
-and at bench's query/key ratio (~25 queries per key) the average band
-(~25*TABLE_BLOCK = 3200 queries) exceeds the two block-aligned QBAND
-tiles, so the `fits` guard routes most batches to the fallback.  To win,
-the kernel needs (a) band width scaled to Q*TABLE_BLOCK/M with
-element-aligned manual DMA (pl.ds into an HBM-resident q_sorted) instead
-of the two aligned tiles, and (b) fewer grid steps (inner fori_loop over
-key blocks with double-buffered band DMA).  Even then the query sort
-(~8.3 ms of the 17) remains; the join is fundamentally sort-bound.
-ops/table.py count_merge stays the production path.
+THE PRODUCTION TPU COUNTING PATH, dispatched from
+genotype/counting._count_batch whenever the backend is TPU.  Measured on
+v5e (2026-08-18, tools/join_probe6.py): 7.67 ms/batch = 342M k-mers/s
+device-side for a [16384, 160] read batch against a 103k-key table, vs
+16.9 ms for the two-sort join (ops/table.py count_merge, which remains
+the fallback inside jit when a query band overflows its two tiles, and
+the production path on non-TPU backends).  The original 2x2048 band
+overflowed at ~25 queries/key ratios; the widened TABLE_BLOCK=128 x
+QBAND=4096 band fits (max band ~4.1k at bench shapes).
 
-The intended pipeline:
+Remaining headroom: the query sort (~4 ms) now dominates the kernel; a
+Pallas query sort or element-aligned band DMA would be the next lever.
+
+The pipeline:
 
   1. sort the queries alone (one XLA u64 sort -- unavoidable; sorting IS
      the TPU's random-access primitive),
