@@ -32,8 +32,8 @@ def ready_index(tmp_path_factory):
                             gcfg.read_batch_size, gcfg.max_read_len)
     read_depth = read_base / gi.genome_size
     hap_cov = estimate_hap_coverage(
-        gi.table.cov_u8(), gi.table.freq_np(), gi.table.hapbit_rows_np(),
-        gi.vcf_ploidy, 2, read_depth, False,
+        gi.table.cov_u8(), gi.table.freq_np(), gi.table.hap_words_np(),
+        gi.nhap, gi.vcf_ploidy, 2, read_depth, False,
     )
     return gi, gcfg, hap_cov, truth
 

@@ -38,8 +38,8 @@ def _count_and_cov(gi, paths, sample_ploidy=2, use_depth=False):
                             cfg.read_batch_size, cfg.max_read_len)
     rd = read_base / gi.genome_size
     hap_cov = estimate_hap_coverage(
-        gi.table.cov_u8(), gi.table.freq_np(), gi.table.hapbit_rows_np(),
-        gi.vcf_ploidy, sample_ploidy, rd, use_depth,
+        gi.table.cov_u8(), gi.table.freq_np(), gi.table.hap_words_np(),
+        gi.nhap, gi.vcf_ploidy, sample_ploidy, rd, use_depth,
     )
     return cfg, hap_cov
 

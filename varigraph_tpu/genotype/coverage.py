@@ -2,32 +2,50 @@
 
 Port of reference Varigraph::cal_ave_cov_kmer / get_hom_kmer / get_hom_kmer_c
 / cal_hap_kmer_cov / kmer_histogram (src/varigraph.cpp:220-401).
+
+Haplotype bits arrive bit-packed ([M, W] uint32 words, the table's native
+layout); candidate rows (c>0, f==1 -- typically a small fraction of M) are
+selected first and only those are unpacked, in bounded chunks, so no
+[M, H] matrix is ever materialized (at M=10^8, H=200 that is 20 GB).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..ops.table import unpack_hapbits
 from ..utils.log import log
+
+# rows unpacked per chunk: 1M rows x 256 haps = 256 MB transient, bounded
+_UNPACK_CHUNK = 1 << 20
 
 
 def hom_kmer_histogram(
-    cov_u8: np.ndarray,      # [M] saturated coverage
-    freq: np.ndarray,        # [M] graph frequency
-    bit_rows: np.ndarray,    # [M, H] 0/1 haplotype bits
+    cov_u8: np.ndarray,       # [M] saturated coverage
+    freq: np.ndarray,         # [M] graph frequency
+    hap_words: np.ndarray,    # [M, W] packed uint32 haplotype bits
+    nhap: int,
     vcf_ploidy: int,
 ) -> np.ndarray:
     """256-bin histogram of coverages of k-mers with c>0, f==1 carried by at
     least one fully homozygous sample (varigraph.cpp:253-296)."""
-    m, nhap = bit_rows.shape
     mask = (cov_u8 > 0) & (freq == 1)
     nsample = (nhap - 1) // vcf_ploidy
     if nsample == 0:
         return np.zeros(256, dtype=np.uint64)
-    groups = bit_rows[:, 1 : 1 + nsample * vcf_ploidy].reshape(m, nsample, vcf_ploidy)
-    hom_any = groups.all(axis=2).any(axis=1)
-    sel = mask & hom_any
-    return np.bincount(cov_u8[sel], minlength=256).astype(np.uint64)
+    sel_idx = np.flatnonzero(mask)
+    hist = np.zeros(256, dtype=np.uint64)
+    for lo in range(0, len(sel_idx), _UNPACK_CHUNK):
+        idx = sel_idx[lo : lo + _UNPACK_CHUNK]
+        rows = unpack_hapbits(hap_words[idx], nhap)
+        groups = rows[:, 1 : 1 + nsample * vcf_ploidy].reshape(
+            len(idx), nsample, vcf_ploidy
+        )
+        hom_any = groups.all(axis=2).any(axis=1)
+        hist += np.bincount(cov_u8[idx[hom_any]], minlength=256).astype(
+            np.uint64
+        )
+    return hist
 
 
 def find_hom_coverage(hist: np.ndarray, read_depth: float) -> tuple[int, int]:
@@ -67,7 +85,8 @@ def find_hom_coverage(hist: np.ndarray, read_depth: float) -> tuple[int, int]:
 def estimate_hap_coverage(
     cov_u8: np.ndarray,
     freq: np.ndarray,
-    bit_rows: np.ndarray,
+    hap_words: np.ndarray,
+    nhap: int,
     vcf_ploidy: int,
     sample_ploidy: int,
     read_depth: float,
@@ -76,7 +95,7 @@ def estimate_hap_coverage(
     """Full coverage-model estimation (varigraph.cpp:220-243,360-362).
 
     Returns hapKmerCoverage."""
-    hist = hom_kmer_histogram(cov_u8, freq, bit_rows, vcf_ploidy)
+    hist = hom_kmer_histogram(cov_u8, freq, hap_words, nhap, vcf_ploidy)
     max_coverage, hom_coverage = find_hom_coverage(hist, read_depth)
 
     if use_depth:

@@ -46,20 +46,30 @@ def window_hap_counts(
     node_kmer_idx_list: list[np.ndarray],
     cov_u8: np.ndarray,
     freq: np.ndarray,
-    bit_rows: np.ndarray,
+    hap_words: np.ndarray,   # [M, W] packed uint32 haplotype bits
+    nhap: int,
 ) -> np.ndarray:
     """Per-haplotype k-mer mass over a window's node k-mers
-    (genotype.cpp:536-572: only k-mers with c > 1 and f == 1 count)."""
-    nhap = bit_rows.shape[1]
+    (genotype.cpp:536-572: only k-mers with c > 1 and f == 1 count).
+
+    Haplotype bits stay packed globally; only the window's selected rows
+    (bounded by nodes-per-window x 128) are gathered and unpacked."""
+    from ..ops.table import unpack_hapbits
+
     counts = np.zeros(nhap, dtype=np.uint64)
-    for idx in node_kmer_idx_list:
-        if not len(idx):
-            continue
-        c = cov_u8[idx]
-        f = freq[idx]
-        keep = (c > 1) & (f == 1)
-        if not keep.any():
-            continue
-        sel = idx[keep]
-        counts += (bit_rows[sel].astype(np.uint64) * c[keep, None].astype(np.uint64)).sum(axis=0)
+    if not node_kmer_idx_list:
+        return counts
+    idx = np.concatenate(
+        [np.asarray(a, np.int64) for a in node_kmer_idx_list if len(a)]
+        or [np.empty(0, np.int64)]
+    )
+    if not len(idx):
+        return counts
+    c = cov_u8[idx]
+    keep = (c > 1) & (freq[idx] == 1)
+    if not keep.any():
+        return counts
+    sel = idx[keep]
+    rows = unpack_hapbits(hap_words[sel], nhap).astype(np.uint64)
+    counts += (rows * c[keep, None].astype(np.uint64)).sum(axis=0)
     return counts

@@ -189,40 +189,22 @@ def _sketch_contexts(contexts: list[str], k: int) -> list[np.ndarray]:
     return results  # type: ignore[return-value]
 
 
-def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
-                nhap: int, vcf_ploidy: int, fast_mode: bool,
-                use_unique_kmers: bool, debug: bool = False):
-    """Build per-node k-mer sets and the global k-mer arrays.
+def _walk_task_range(args):
+    """Walk contexts for tasks[t_lo:t_hi]; returns locally-deduped contexts
+    plus per-(task, hap, gt) references into them.
 
-    Returns (keys u64, freq u8, hapbit_rows [M, nhap] u8, refflag bool),
-    unsorted.  Side effect: fills node.kmer_hashes and node.local_bits
-    (packed uint8 [n_kmers, ceil(nhap/8)]).
-    """
-    log("Initiating the construction of the graph index ...")
-
-    # ---- collect (node, hap, gt) context tasks in deterministic order ----
-    tasks: list[tuple] = []  # (chrom, node_idx, node)
-    for chrom in sorted(graph.nodes.keys()):
-        starts = graph.starts[chrom]
-        nodes = graph.nodes[chrom]
-        for node_idx, node in enumerate(nodes):
-            if not node.is_variant:
-                continue
-            tasks.append((chrom, node_idx, node))
-
-    # ---- per-haplotype contexts ----
-    # The walker is deterministic given (gt, GTs at its visited node range)
-    # -- see find_node_up_down_seq.  Population VCFs have far fewer distinct
-    # local GT signatures than haplotypes, so walks are memoized per node by
-    # signature and the resulting context strings deduplicated globally
-    # before device sketching (the reference re-walks every haplotype,
-    # construct_index.cpp:1139-1186).
-    contexts: list[str] = []        # unique context strings
+    Module-level so multiprocessing fork workers can run it; reads the
+    shared state from _PARWALK (set in the parent before forking, inherited
+    copy-on-write -- no graph pickling)."""
+    t_lo, t_hi = args
+    graph, tasks, k, fast_mode, vcf_ploidy, debug = _PARWALK
+    contexts: list[str] = []
     ctx_id: dict[str, int] = {}
-    ctx_ref: list[int] = []         # per ctx_meta entry -> unique context id
-    ctx_meta: list[tuple[int, int, int]] = []  # (task_id, haplotype, gt)
+    ctx_ref: list[int] = []
+    ctx_meta: list[tuple[int, int, int]] = []
     walks = walk_hits = 0
-    for task_id, (chrom, node_idx, node) in enumerate(tasks):
+    for task_id in range(t_lo, t_hi):
+        chrom, node_idx, node = tasks[task_id]
         starts = graph.starts[chrom]
         nodes = graph.nodes[chrom]
         hap_gt = node.hap_gt
@@ -283,10 +265,101 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
                 contexts.append(ctx)
             ctx_ref.append(cid)
             ctx_meta.append((task_id, haplotype, gt))
+    return contexts, ctx_ref, ctx_meta, walks, walk_hits
+
+
+_PARWALK = None  # (graph, tasks, k, fast_mode, vcf_ploidy, debug)
+
+
+def collect_contexts(graph: GenomeGraph, k: int, vcf_ploidy: int,
+                     fast_mode: bool, debug: bool = False, threads: int = 1):
+    """Phase A of graph indexing: walk every (node, haplotype) context.
+
+    Pure host work -- run it BEFORE any device computation so the -t fork
+    pool starts from a process with no live JAX client (forking after
+    device init risks deadlock on inherited locks).
+
+    Returns (tasks, contexts, ctx_ref, ctx_meta)."""
+    tasks: list[tuple] = []  # (chrom, node_idx, node)
+    for chrom in sorted(graph.nodes.keys()):
+        nodes = graph.nodes[chrom]
+        for node_idx, node in enumerate(nodes):
+            if not node.is_variant:
+                continue
+            tasks.append((chrom, node_idx, node))
+
+    # The walker is deterministic given (gt, GTs at its visited node range)
+    # -- see find_node_up_down_seq.  Population VCFs have far fewer distinct
+    # local GT signatures than haplotypes, so walks are memoized per node by
+    # signature and the resulting context strings deduplicated globally
+    # before device sketching (the reference re-walks every haplotype,
+    # construct_index.cpp:1139-1186).
+    global _PARWALK
+    _PARWALK = (graph, tasks, k, fast_mode, vcf_ploidy, debug)
+    n_workers = 1
+    if threads > 1 and not debug and len(tasks) >= 256:
+        n_workers = min(threads, os.cpu_count() or 1)
+    if n_workers > 1 and hasattr(os, "fork"):
+        # task-parallel walking (the reference submits one pool task per
+        # node, construct_index.cpp:608-631); fork workers inherit the graph
+        # copy-on-write, each walks a contiguous task range, and the parent
+        # merges + globally dedups the context strings
+        import multiprocessing as mp
+
+        bounds = np.linspace(0, len(tasks), n_workers * 4 + 1).astype(int)
+        ranges = [
+            (int(bounds[i]), int(bounds[i + 1]))
+            for i in range(len(bounds) - 1)
+            if bounds[i] < bounds[i + 1]
+        ]
+        log(f"Walking haplotype contexts with {n_workers} processes ...")
+        with mp.get_context("fork").Pool(n_workers) as pool:
+            results = pool.map(_walk_task_range, ranges)
+    else:
+        results = [_walk_task_range((0, len(tasks)))]
+    _PARWALK = None
+
+    contexts: list[str] = []        # unique context strings
+    ctx_id: dict[str, int] = {}
+    ctx_ref: list[int] = []         # per ctx_meta entry -> unique context id
+    ctx_meta: list[tuple[int, int, int]] = []  # (task_id, haplotype, gt)
+    walks = walk_hits = 0
+    for l_ctx, l_ref, l_meta, l_walks, l_hits in results:
+        remap = np.empty(len(l_ctx), np.int64)
+        for i, ctx in enumerate(l_ctx):
+            cid = ctx_id.get(ctx)
+            if cid is None:
+                cid = len(contexts)
+                ctx_id[ctx] = cid
+                contexts.append(ctx)
+            remap[i] = cid
+        ctx_ref.extend(int(remap[r]) for r in l_ref)
+        ctx_meta.extend(l_meta)
+        walks += l_walks
+        walk_hits += l_hits
     del ctx_id
     if walk_hits:
         log(f"Graph walks: {walks} unique / {walks + walk_hits} total "
             f"({len(contexts)} distinct contexts)")
+    return tasks, contexts, ctx_ref, ctx_meta
+
+
+def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
+                nhap: int, vcf_ploidy: int, fast_mode: bool,
+                use_unique_kmers: bool, debug: bool = False,
+                threads: int = 1, walked=None):
+    """Build per-node k-mer sets and the global k-mer arrays.
+
+    Returns (keys u64, freq u8, hapbit_bytes [M, ceil(nhap/8)] packed u8,
+    refflag bool), unsorted.  Side effect: fills node.kmer_hashes and
+    node.local_bits (packed uint8 [n_kmers, ceil(nhap/8)]).
+    """
+    log("Initiating the construction of the graph index ...")
+
+    if walked is None:
+        walked = collect_contexts(graph, k, vcf_ploidy, fast_mode,
+                                  debug=debug, threads=threads)
+    tasks, contexts, ctx_ref, ctx_meta = walked
 
     # ---- device sketch + CBF counts ----
     uniq_ctx_kmers = _sketch_contexts(contexts, k)
@@ -343,7 +416,7 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
             node.kmer_hashes = []
             node.local_bits = np.zeros((0, nbytes), np.uint8)
         return (np.empty(0, np.uint64), np.empty(0, np.uint8),
-                np.zeros((0, nhap), np.uint8), np.empty(0, bool))
+                np.zeros((0, nbytes), np.uint8), np.empty(0, bool))
     e_task = np.concatenate(e_task_l)
     e_kh = np.concatenate(e_kh_l)
     e_gidx = np.concatenate(e_gidx_l)
@@ -420,14 +493,15 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     base = np.where(g_fre >= 2, g_fre, 1)
     g_f = np.minimum(base + g_n - 1, 255)
 
-    rows = np.unpackbits(g_bits, axis=1, bitorder="little")[:, :nhap]
-    return g_kh, g_f.astype(np.uint8), rows, g_flag
+    # hap bitmaps stay packed ([M, nbytes] u8) all the way into the device
+    # table -- no [M, nhap] matrix is ever materialized
+    return g_kh, g_f.astype(np.uint8), g_bits, g_flag
 
 
 def build_kmer_table(arrays, nhap: int) -> KmerTable:
-    """(keys, freq, hapbit_rows, refflag) arrays -> sorted device table."""
-    keys, freq, bit_rows, refflag = arrays
-    return KmerTable.build(keys, freq, bit_rows, refflag, nhap)
+    """(keys, freq, hapbit_bytes, refflag) arrays -> sorted device table."""
+    keys, freq, bit_bytes, refflag = arrays
+    return KmerTable.build_packed(keys, freq, bit_bytes, refflag, nhap)
 
 
 def construct_graph_index(config: VarigraphConfig) -> GraphIndex:
@@ -435,17 +509,25 @@ def construct_graph_index(config: VarigraphConfig) -> GraphIndex:
     src/varigraph.cpp:14-54)."""
     fasta_map, len_map, genome_size = read_fasta(config.ref_file)
 
-    bf = make_genome_cbf(fasta_map, genome_size, config.kmer_len, config.seed)
-
     log("Constructing ...")
     with _open_text(config.vcf_file) as fh:
         graph, vcf_head, vcf_info, hap_names, stats, extra_bases = build_graph_from_vcf(
             fh, fasta_map, config.vcf_ploidy
         )
 
+    # walk the haplotype contexts FIRST: pure host work, and the -t fork
+    # pool must start before the first device op creates the JAX client
+    walked = collect_contexts(
+        graph, config.kmer_len, config.vcf_ploidy, config.fast_mode,
+        debug=config.debug, threads=config.threads,
+    )
+
+    bf = make_genome_cbf(fasta_map, genome_size, config.kmer_len, config.seed)
+
     arrays = index_graph(
         graph, bf, config.kmer_len, len(hap_names), config.vcf_ploidy,
         config.fast_mode, config.use_unique_kmers, debug=config.debug,
+        threads=config.threads, walked=walked,
     )
     table = build_kmer_table(arrays, len(hap_names))
 

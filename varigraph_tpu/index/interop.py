@@ -122,30 +122,34 @@ def load_reference_graph_bin(path: str) -> GraphIndex:
 
     # ---- global k-mer table ----
     r.u64()  # ReadBase placeholder (construct_index.cpp:877-878)
-    keys, covs, freqs, flags, bit_rows_list = [], [], [], [], []
-    nbytes_expected = hap_num // 8 + 1
+    keys, covs, freqs, flags, bit_bytes_list = [], [], [], [], []
+    nbytes = (hap_num + 7) // 8
     while not r.eof():
         kh = r.u64()
         c = r.u8()
         f = r.u8()
         blen = r.u64()
-        bits = np.frombuffer(r.bytes_(blen), dtype=np.uint8)
+        bits = np.frombuffer(r.bytes_(blen), dtype=np.uint8).copy()
         keys.append(kh)
         covs.append(c)
         freqs.append(f)
-        # last-byte bit 7 is the genome-wide ref flag
+        # last-byte bit 7 is the genome-wide ref flag; strip it so only
+        # haplotype bits remain in the packed row
         flags.append(bool(bits[-1] >> 7) if blen else False)
-        row = np.unpackbits(bits, bitorder="little")[:hap_num]
-        bit_rows_list.append(row)
+        if blen:
+            bits[-1] &= 0x7F
+        row = np.zeros(nbytes, np.uint8)
+        row[: min(blen, nbytes)] = bits[:nbytes]
+        bit_bytes_list.append(row)
 
     m = len(keys)
     keys_a = np.array(keys, np.uint64)
     freq_a = np.array(freqs, np.uint8)
     flag_a = np.array(flags, bool)
-    rows_a = (
-        np.stack(bit_rows_list) if m else np.zeros((0, hap_num), np.uint8)
+    bytes_a = (
+        np.stack(bit_bytes_list) if m else np.zeros((0, nbytes), np.uint8)
     )
-    table = KmerTable.build(keys_a, freq_a, rows_a, flag_a, hap_num)
+    table = KmerTable.build_packed(keys_a, freq_a, bytes_a, flag_a, hap_num)
     # preserve any stored coverage (normally zero after construct)
     if any(covs):
         import jax.numpy as jnp

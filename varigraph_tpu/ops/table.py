@@ -199,9 +199,29 @@ def pack_hapbits(bitrows: np.ndarray) -> np.ndarray:
 def unpack_hapbits(words: np.ndarray, nhap: int) -> np.ndarray:
     """[M, W] uint32 -> [M, nhap] uint8 0/1."""
     m, w = words.shape
+    if _LITTLE:
+        by = np.ascontiguousarray(words).view(np.uint8).reshape(m, w * 4)
+        return np.unpackbits(by, axis=1, bitorder="little")[:, :nhap]
     shifts = np.arange(32, dtype=np.uint32)
     bits = (words[:, :, None] >> shifts) & np.uint32(1)
     return bits.reshape(m, w * 32)[:, :nhap].astype(np.uint8)
+
+
+def bytes_to_words(packed_bytes: np.ndarray, nhap: int) -> np.ndarray:
+    """[M, nbytes] packed-bit uint8 rows (hap i -> byte i>>3, bit i&7, the
+    reference's BitVec layout) -> [M, W] uint32 words (hap i -> word i>>5,
+    bit i&31).  Pure byte-level reshape on little-endian hosts."""
+    m, nb = packed_bytes.shape
+    w = (nhap + 31) // 32
+    out_b = np.zeros((m, w * 4), np.uint8)
+    out_b[:, : min(nb, w * 4)] = packed_bytes[:, : w * 4]
+    if _LITTLE:
+        return out_b.view(np.uint32)
+    words = out_b.reshape(m, w, 4).astype(np.uint32)
+    return (
+        words[:, :, 0] | (words[:, :, 1] << 8) | (words[:, :, 2] << 16)
+        | (words[:, :, 3] << 24)
+    )
 
 
 @dataclass
@@ -217,7 +237,10 @@ class KmerTable:
     @staticmethod
     def build(keys: np.ndarray, freq: np.ndarray, hapbit_rows: np.ndarray,
               refflag: np.ndarray, nhap: int) -> "KmerTable":
-        """Build from unsorted host arrays; hapbit_rows is [M, nhap] 0/1."""
+        """Build from unsorted host arrays; hapbit_rows is [M, nhap] 0/1.
+
+        Materializes the unpacked matrix -- fine for tests/small inputs; the
+        construct pipeline uses build_packed (no [M, H] intermediate)."""
         order = np.argsort(keys, kind="stable")
         keys = np.ascontiguousarray(keys[order])
         return KmerTable(
@@ -225,6 +248,25 @@ class KmerTable:
             cov=jnp.zeros((len(keys),), jnp.uint32),
             freq=jnp.asarray(freq[order].astype(np.uint8)),
             hapbits=jnp.asarray(pack_hapbits(hapbit_rows[order])),
+            refflag=jnp.asarray(refflag[order].astype(np.bool_)),
+            nhap=nhap,
+        )
+
+    @staticmethod
+    def build_packed(keys: np.ndarray, freq: np.ndarray,
+                     hapbit_bytes: np.ndarray, refflag: np.ndarray,
+                     nhap: int) -> "KmerTable":
+        """Build from unsorted host arrays with bit-packed haplotype rows
+        ([M, ceil(nhap/8)] uint8, hap i -> byte i>>3 bit i&7).  Never
+        materializes the [M, nhap] matrix -- the scale-safe path (at
+        M = 10^8, H = 200 the unpacked matrix is 20 GB)."""
+        order = np.argsort(keys, kind="stable")
+        keys = np.ascontiguousarray(keys[order])
+        return KmerTable(
+            keys=jnp.asarray(keys.astype(np.uint64)),
+            cov=jnp.zeros((len(keys),), jnp.uint32),
+            freq=jnp.asarray(freq[order].astype(np.uint8)),
+            hapbits=jnp.asarray(bytes_to_words(hapbit_bytes[order], nhap)),
             refflag=jnp.asarray(refflag[order].astype(np.bool_)),
             nhap=nhap,
         )
@@ -271,7 +313,17 @@ class KmerTable:
             self._freq_np = np.asarray(self.freq)
         return self._freq_np
 
+    def hap_words_np(self) -> np.ndarray:
+        """Packed [M, W] uint32 haplotype bits on host (production view;
+        32x smaller than the unpacked matrix)."""
+        if not hasattr(self, "_words_np"):
+            self._words_np = np.asarray(self.hapbits)
+        return self._words_np
+
     def hapbit_rows_np(self) -> np.ndarray:
+        """Unpacked [M, nhap] matrix -- oracle/tests only; at genome scale
+        this is tens of GB (use hap_words_np + ops.table.unpack_hapbits on
+        gathered subsets instead)."""
         if not hasattr(self, "_rows_np"):
             self._rows_np = unpack_hapbits(np.asarray(self.hapbits), self.nhap)
         return self._rows_np
