@@ -139,7 +139,7 @@ def make_cbf_add_sharded(mesh: Mesh, m: int, num_hashes: int):
 
     ``m`` must be divisible by the mesh size (CBF sizes are powers of two).
     """
-    from ..ops.cbf import _positions
+    from ..ops.cbf import _DENSE_ADD_MAX, _positions, _saturating_update
 
     n_dev = mesh.devices.size
     assert m % n_dev == 0, (m, n_dev)
@@ -149,15 +149,18 @@ def make_cbf_add_sharded(mesh: Mesh, m: int, num_hashes: int):
         pos = _positions(hashes, seeds, m)          # [kh, N] global
         lo = jax.lax.axis_index("data").astype(jnp.uint64) * jnp.uint64(m_l)
         rel = pos - lo
-        inrange = rel < jnp.uint64(m_l)             # unsigned: below lo wraps
+        inrange = (rel < jnp.uint64(m_l)) & mask[None, :]  # unsigned wrap
         local = jnp.where(inrange, rel, jnp.uint64(m_l))
-        inc = jnp.broadcast_to(mask.astype(jnp.uint32), local.shape)
-        hist = jnp.zeros((m_l,), jnp.uint32).at[local.reshape(-1)].add(
-            inc.reshape(-1), mode="drop"
-        )
-        return jnp.minimum(filt_l.astype(jnp.uint32) + hist, 255).astype(
-            jnp.uint8
-        )
+        if m_l <= _DENSE_ADD_MAX:
+            inc = inrange.astype(jnp.uint32)
+            hist = jnp.zeros((m_l,), jnp.uint32).at[local.reshape(-1)].add(
+                inc.reshape(-1), mode="drop"
+            )
+            return jnp.minimum(filt_l.astype(jnp.uint32) + hist, 255).astype(
+                jnp.uint8
+            )
+        # large shards: sort-based saturating add (no [m_l] u32 histogram)
+        return _saturating_update(filt_l, local.reshape(-1), m_l)
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
