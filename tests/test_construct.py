@@ -130,3 +130,26 @@ def test_construct_deterministic(dataset):
     b = construct_graph_index(cfg)
     assert (a.table.keys_np() == b.table.keys_np()).all()
     assert (a.table.freq_np() == b.table.freq_np()).all()
+
+
+def test_threaded_construct_matches_serial(tmp_path):
+    """-t N construct (forked context walking) must produce the exact same
+    index as the single-threaded path."""
+    paths, _ = generate_dataset(
+        str(tmp_path), seed=17, chrom_lens={"chr1": 60000}, n_variants=300,
+        samples=("S1", "S2"), depth=5.0,
+    )
+    cfg1 = VarigraphConfig(ref_file=paths["ref"], vcf_file=paths["vcf"],
+                           kmer_len=27, seed=0, threads=1)
+    cfg2 = VarigraphConfig(ref_file=paths["ref"], vcf_file=paths["vcf"],
+                           kmer_len=27, seed=0, threads=2)
+    gi1 = construct_graph_index(cfg1)
+    gi2 = construct_graph_index(cfg2)
+    assert (gi1.table.keys_np() == gi2.table.keys_np()).all()
+    assert (gi1.table.freq_np() == gi2.table.freq_np()).all()
+    assert (gi1.table.hap_words_np() == gi2.table.hap_words_np()).all()
+    assert (gi1.table.refflag_np() == gi2.table.refflag_np()).all()
+    for chrom in gi1.graph.nodes:
+        for n1, n2 in zip(gi1.graph.nodes[chrom], gi2.graph.nodes[chrom]):
+            assert n1.kmer_hashes == n2.kmer_hashes
+            assert np.array_equal(n1.local_bits, n2.local_bits)
