@@ -7,7 +7,16 @@
 // reference's equivalent is the kseq-based streaming in
 // src/fastq_kmer.cpp:65-187.
 //
+// Fast paths (the host feed bounds end-to-end counting on small hosts):
+//   * whole-file gzip decompression via libdeflate when available and the
+//     compressed file is small enough (VGF_WHOLE_MAX env, default 1 GiB) --
+//     ~2-3x faster inflate than zlib streaming, then parsing runs over a
+//     plain memory buffer;
+//   * otherwise chunked gzread with memchr line scanning (no per-line gzgets
+//     calls); header/'+'/quality lines are skipped without copying.
+//
 // Build: g++ -O3 -shared -fPIC -o libvgfastq.so fastq_reader.cpp -lz
+//        [-DVGF_USE_LIBDEFLATE -ldeflate]
 //
 // C API (ctypes):
 //   void* vgf_open(const char* path);
@@ -19,9 +28,15 @@
 #include <zlib.h>
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <vector>
+
+#ifdef VGF_USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 namespace {
 
@@ -38,76 +53,179 @@ struct TableInit {
     }
 } table_init;
 
+constexpr size_t kChunk = 4u << 20;  // gzread chunk
+
 struct Reader {
     gzFile fp = nullptr;
     bool is_fasta = false;
-    bool started = false;
-    std::string pending;      // carry-over sequence (FASTA) or segment tail
-    std::string seq;          // current read being split into segments
-    size_t seg_start = 0;     // next segment offset within seq
-    bool have_seq = false;
-    std::vector<char> linebuf;
 
-    bool read_line(std::string& out) {
-        out.clear();
-        char buf[65536];
-        for (;;) {
-            if (gzgets(fp, buf, sizeof(buf)) == nullptr) return !out.empty();
-            size_t n = strlen(buf);
-            bool full_line = n > 0 && buf[n - 1] == '\n';
-            out.append(buf, full_line ? n - 1 : n);
-            if (full_line) return true;
+    // decompressed data window: either a rolling gzread chunk or the whole
+    // file (libdeflate / plain small file)
+    std::vector<char> buf;
+    size_t pos = 0;   // parse cursor within buf[0..len)
+    size_t len = 0;
+    bool whole = false;  // buf holds the entire file; no refills
+
+    std::string seq;      // current read being split into segments
+    size_t seg_start = 0;
+    bool have_seq = false;
+
+    bool fill() {
+        if (whole) return false;
+        // move leftover to front
+        if (pos < len) {
+            memmove(buf.data(), buf.data() + pos, len - pos);
         }
+        len -= pos;
+        pos = 0;
+        if (buf.size() < len + kChunk) buf.resize(len + kChunk);
+        int got = gzread(fp, buf.data() + len, (unsigned)kChunk);
+        if (got <= 0) return false;
+        len += (size_t)got;
+        return true;
+    }
+
+    // next line [start, end) within buf; returns false at EOF.  The span is
+    // only valid until the next fill(), so callers copy what they keep.
+    bool next_line(size_t& s, size_t& e) {
+        for (;;) {
+            char* nl = (char*)memchr(buf.data() + pos, '\n', len - pos);
+            if (nl) {
+                s = pos;
+                e = (size_t)(nl - buf.data());
+                pos = e + 1;
+                return true;
+            }
+            size_t tail = len - pos;
+            if (!fill()) {
+                if (tail == 0 && len == pos) return false;
+                s = pos;
+                e = len;
+                pos = len;
+                return s < e;
+            }
+        }
+    }
+
+    bool skip_line() {
+        size_t s, e;
+        return next_line(s, e);
     }
 
     // fetch the next whole read sequence into `seq`; false at EOF
     bool next_record() {
-        std::string line;
+        size_t s, e;
         if (!is_fasta) {
             // FASTQ: @header / seq / + / quals
-            if (!read_line(line)) return false;        // header
-            if (!read_line(seq)) return false;         // sequence
-            read_line(line);                           // '+'
-            read_line(line);                           // quals
+            if (!skip_line()) return false;            // header
+            if (!next_line(s, e)) return false;        // sequence
+            seq.assign(buf.data() + s, e - s);
+            skip_line();                               // '+'
+            skip_line();                               // quals
             return true;
         }
         // FASTA: accumulate until next '>'
         seq.clear();
-        if (!pending.empty()) {
-            // pending holds the next header already consumed
-            pending.clear();
-        }
         for (;;) {
-            if (!read_line(line)) return !seq.empty();
-            if (!line.empty() && line[0] == '>') {
-                if (!seq.empty()) { return true; }
+            if (!next_line(s, e)) return !seq.empty();
+            if (e > s && buf[s] == '>') {
+                if (!seq.empty()) return true;
                 continue;  // leading header
             }
-            seq += line;
+            seq.append(buf.data() + s, e - s);
         }
     }
 };
+
+bool load_whole_gzip(Reader* r, const char* path) {
+#ifdef VGF_USE_LIBDEFLATE
+    size_t max_comp = 1u << 30;
+    if (const char* env = getenv("VGF_WHOLE_MAX")) {
+        max_comp = (size_t)strtoull(env, nullptr, 10);
+    }
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    long fsize = ftell(f);
+    if (fsize <= 18 || (size_t)fsize > max_comp) { fclose(f); return false; }
+    std::vector<char> comp((size_t)fsize);
+    fseek(f, 0, SEEK_SET);
+    if (fread(comp.data(), 1, comp.size(), f) != comp.size()) {
+        fclose(f);
+        return false;
+    }
+    fclose(f);
+    if ((unsigned char)comp[0] != 0x1f || (unsigned char)comp[1] != 0x8b) {
+        return false;  // plain file: let the gzread path handle it
+    }
+
+    libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+    if (!d) return false;
+    // gzip members decompress in sequence (ISIZE footer seeds the estimate;
+    // grow-and-retry covers multi-member files and >4 GiB streams)
+    size_t in_off = 0;
+    size_t out_len = 0;
+    uint32_t isize;
+    memcpy(&isize, comp.data() + comp.size() - 4, 4);
+    size_t cap = (size_t)isize + (4u << 20);
+    r->buf.resize(cap);
+    while (in_off < comp.size()) {
+        for (;;) {
+            size_t actual_in = 0, actual_out = 0;
+            libdeflate_result res = libdeflate_gzip_decompress_ex(
+                d, comp.data() + in_off, comp.size() - in_off,
+                r->buf.data() + out_len, r->buf.size() - out_len,
+                &actual_in, &actual_out);
+            if (res == LIBDEFLATE_SUCCESS) {
+                in_off += actual_in;
+                out_len += actual_out;
+                break;
+            }
+            if (res == LIBDEFLATE_INSUFFICIENT_SPACE) {
+                r->buf.resize(r->buf.size() * 2 + (16u << 20));
+                continue;
+            }
+            libdeflate_free_decompressor(d);
+            return false;  // corrupt: fall back to zlib streaming
+        }
+        // tolerate trailing garbage/padding that is not another member
+        if (comp.size() - in_off < 18 ||
+            (unsigned char)comp[in_off] != 0x1f) {
+            break;
+        }
+    }
+    libdeflate_free_decompressor(d);
+    r->len = out_len;
+    r->pos = 0;
+    r->whole = true;
+    return true;
+#else
+    (void)r;
+    (void)path;
+    return false;
+#endif
+}
 
 }  // namespace
 
 extern "C" {
 
 void* vgf_open(const char* path) {
-    gzFile fp = gzopen(path, "rb");
-    if (!fp) return nullptr;
     Reader* r = new Reader();
-    r->fp = fp;
-    int c = gzgetc(fp);
-    if (c < 0) { r->is_fasta = false; }
-    else {
-        r->is_fasta = (c == '>');
-        gzungetc(c, fp);
+    if (load_whole_gzip(r, path)) {
+        // parsed from memory; no gzFile needed
+    } else {
+        r->whole = false;
+        r->fp = gzopen(path, "rb");
+        if (!r->fp) {
+            delete r;
+            return nullptr;
+        }
+        gzbuffer(r->fp, 1u << 20);
+        if (!r->fill()) { /* empty file: next_line handles EOF */ }
     }
-    if (r->is_fasta) {
-        // consume the first header line
-        std::string line;
-        r->read_line(line);
-    }
+    r->is_fasta = (r->len > r->pos && r->buf[r->pos] == '>');
+    if (r->is_fasta) r->skip_line();  // consume the first header line
     return r;
 }
 

@@ -21,15 +21,20 @@ _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fastq_reader.cp
 
 
 def _build(out_path: str) -> bool:
-    try:
-        r = subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", out_path, _SRC, "-lz"],
-            capture_output=True, text=True, timeout=300,
-        )
-        return r.returncode == 0
-    except Exception:
-        return False
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            "-o", out_path, _SRC]
+    # prefer libdeflate (whole-file inflate ~2-3x faster than zlib); fall
+    # back to plain zlib when the library/headers are absent
+    for extra in (["-DVGF_USE_LIBDEFLATE", "-lz", "-ldeflate"], ["-lz"]):
+        try:
+            r = subprocess.run(
+                base + extra, capture_output=True, text=True, timeout=300,
+            )
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def get_fastq_lib():
