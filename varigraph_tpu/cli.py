@@ -7,6 +7,7 @@ Mirrors the reference's subcommands and flags (main.cpp:76-235 construct,
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from . import __version__
@@ -81,6 +82,13 @@ def _add_genotype(sub):
                         "(single-sample runs)")
     p.add_argument("-t", "--threads", type=int, default=10, metavar="INT")
     p.add_argument("-D", "--debug", action="store_true")
+    # multi-host (jax.distributed; new TPU-first surface, SURVEY.md section 5.8)
+    p.add_argument("--coordinator", default="", metavar="HOST:PORT",
+                   help="multi-host coordinator address (default: autodetect)")
+    p.add_argument("--num-processes", type=int, default=0, metavar="INT",
+                   help="number of host processes (default: autodetect)")
+    p.add_argument("--process-id", type=int, default=-1, metavar="INT",
+                   help="this process's rank (default: autodetect)")
     return p
 
 
@@ -101,6 +109,16 @@ def main(argv: list[str] | None = None) -> int:
 
     log(f"You are now running varigraph-tpu (v{__version__}).", func="main")
     log("Execution started ...", func="main")
+
+    # Honor JAX_PLATFORMS from the environment explicitly: preloaded device
+    # plugins (sitecustomize) can override the env default after jax import,
+    # which would silently put e.g. a CPU-pinned multi-host test on the TPU
+    # platform (and have jax.distributed derive the wrong process topology).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     cfg = VarigraphConfig()
     if args.command == "construct":
@@ -140,8 +158,20 @@ def main(argv: list[str] | None = None) -> int:
             cfg.engine = args.engine
         cfg.threads = max(args.threads, 1)
         cfg.debug = args.debug
+        cfg.coordinator = args.coordinator
+        cfg.num_processes = args.num_processes
+        cfg.process_id = args.process_id
         cfg.validate_genotype()
         cfg.log_genotype()
+
+        if cfg.coordinator or cfg.num_processes > 1:
+            from .parallel.dist import initialize_distributed
+
+            initialize_distributed(
+                coordinator=cfg.coordinator or None,
+                num_processes=cfg.num_processes or None,
+                process_id=cfg.process_id if cfg.process_id >= 0 else None,
+            )
 
         from .genotype.pipeline import run_genotype
 

@@ -49,6 +49,12 @@ class VarigraphConfig:
     read_batch_size: int = 16384  # reads per device batch
     max_read_len: int = 160  # padded read length for device batches
     mesh_devices: int = 0  # 0 = all local devices
+    # multi-host (jax.distributed; no reference counterpart): each process
+    # streams its round-robin share of a sample's FASTQ files, counts merge
+    # with one cross-host collective, process 0 writes the VCF
+    coordinator: str = ""  # --coordinator host:port ("" = env autodetect)
+    num_processes: int = 0  # --num-processes (0 = single process / autodetect)
+    process_id: int = -1  # --process-id (-1 = autodetect)
     # counted-reads checkpoint (single-sample runs): skip or persist counting
     load_counts_file: str = ""
     save_counts_file: str = ""

@@ -83,15 +83,34 @@ def genotype_one_sample(
     counts_in: str | None = None,
     counts_out: str | None = None,
 ) -> str:
-    """Count + genotype one sample; returns the output VCF path."""
+    """Count + genotype one sample; returns the output VCF path.
+
+    Multi-host: each process streams its round-robin share of the sample's
+    FASTQ files, per-host counts merge with one cross-host collective, and
+    only process 0 writes the VCF (all hosts still hold identical state for
+    the next sample)."""
+    import jax
+
+    multi_host = jax.process_count() > 1
     _t0 = _time.perf_counter()
     if counts_in:
         read_base = load_counts(gi, counts_in)
     else:
+        files = fastq_files
+        if multi_host:
+            from ..parallel.dist import assign_files_to_process
+
+            files = assign_files_to_process(fastq_files)
         read_base = count_reads(
-            gi.table, fastq_files, gi.kmer_len, cfg.read_batch_size,
+            gi.table, files, gi.kmer_len, cfg.read_batch_size,
             cfg.max_read_len, n_devices=cfg.mesh_devices,
         )
+        if multi_host:
+            from ..parallel.dist import merge_counts_across_hosts
+
+            gi.table.cov, read_base = merge_counts_across_hosts(
+                gi.table.cov, read_base
+            )
         if counts_out:
             save_counts(gi, counts_out, read_base)
     log(f"phase timing: counting {_time.perf_counter()-_t0:.2f}s",
@@ -132,9 +151,10 @@ def genotype_one_sample(
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{sample_name}.varigraph.vcf.gz")
     _t0 = _time.perf_counter()
-    write_vcf(gi, results, sample_name, out_path, cfg.min_supporting_gq)
-    log(f"phase timing: vcf write {_time.perf_counter()-_t0:.2f}s",
-        func="genotype_one_sample")
+    if not multi_host or jax.process_index() == 0:
+        write_vcf(gi, results, sample_name, out_path, cfg.min_supporting_gq)
+        log(f"phase timing: vcf write {_time.perf_counter()-_t0:.2f}s",
+            func="genotype_one_sample")
     return out_path
 
 

@@ -18,11 +18,14 @@ from the public-domain algorithm definition, not transcribed):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 _U64 = jnp.uint64
 
-_C1 = _U64(0x87C37B91114253D5)
-_C2 = _U64(0x4CF5AD432745937F)
+# numpy scalars, NOT jnp: module-level jnp constants would instantiate the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+_C1 = np.uint64(0x87C37B91114253D5)
+_C2 = np.uint64(0x4CF5AD432745937F)
 
 
 def _rotl64(x: jnp.ndarray, r: int) -> jnp.ndarray:

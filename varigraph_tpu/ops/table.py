@@ -54,7 +54,10 @@ def binary_search(keys: jnp.ndarray, queries: jnp.ndarray) -> jnp.ndarray:
     return lo
 
 
-_SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+# numpy scalar, NOT jnp: a module-level jnp constant would instantiate the
+# XLA backend at import time, which breaks jax.distributed.initialize()
+# (must run before any backend init) for multi-host CLI runs
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def count_merge(cov: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,

@@ -51,3 +51,28 @@ def assign_files_to_process(files: list[str]) -> list[str]:
     pid = jax.process_index()
     n = jax.process_count()
     return [f for i, f in enumerate(files) if i % n == pid]
+
+
+def merge_counts_across_hosts(cov, read_base: int):
+    """Sum per-host coverage accumulators and read-base totals across all
+    processes; every host returns the identical merged state.
+
+    One collective at the end of counting (each host streams only its own
+    file assignment; coverage addition is commutative).  Saturation applies
+    at the u8 view, after merging, like the reference's single-threaded
+    accumulation into the global map (src/fastq_kmer.cpp:126-141)."""
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(cov)  # [n_proc, M]
+    merged = jnp.asarray(gathered).sum(axis=0, dtype=jnp.uint32)
+    bases = multihost_utils.process_allgather(
+        jnp.asarray([read_base], jnp.uint64)
+    )
+    total_bases = int(np.asarray(bases).sum())
+    log(
+        f"merged counts from {jax.process_count()} hosts "
+        f"({total_bases / 1e9:.2f} Gb total)",
+        func="merge_counts_across_hosts",
+    )
+    return merged, total_bases
