@@ -123,25 +123,36 @@ def test_cbf_determinism_and_save_load(tmp_path):
     assert (c.count(keys) == a.count(keys)).all()
 
 
-def test_sorted_add_matches_dense_add():
-    """The sort-based saturating add (large-filter path, no [m] histogram)
-    must agree exactly with the dense-histogram add, incl. saturation."""
-    from varigraph_tpu.ops.cbf import _add, _saturating_update, _positions
+def test_chunked_add_matches_dense_add():
+    """The position-range-chunked saturating add (large-filter path) must
+    agree exactly with the dense-histogram add, incl. saturation, for any
+    chunk/filter-size relation."""
+    import varigraph_tpu.ops.cbf as cbfmod
+    from varigraph_tpu.ops.cbf import (
+        _add,
+        _positions,
+        _saturating_update_chunked,
+    )
 
     rng = np.random.default_rng(5)
     m = 1 << 12
     seeds = make_seeds(4, seed=9)
     filt_np = rng.integers(0, 256, size=m).astype(np.uint8)
-    # heavy duplication so runs are long and clamping triggers
-    hashes = jnp.asarray(
-        rng.integers(1, 50, size=4096, dtype=np.uint64)
-    )
+    # heavy duplication so per-position counts are large and clamping triggers
+    hashes = jnp.asarray(rng.integers(1, 50, size=4096, dtype=np.uint64))
     mask = jnp.asarray(rng.random(4096) < 0.9)
 
     dense = _add(jnp.asarray(filt_np), hashes, mask, jnp.asarray(seeds), m)
 
     pos = _positions(hashes, jnp.asarray(seeds), m)
-    posm = jnp.where(mask[None, :], pos, jnp.uint64(m)).reshape(-1)
-    sorted_out = _saturating_update(jnp.asarray(filt_np), posm, m)
+    inc = jnp.broadcast_to(mask.astype(jnp.uint32), pos.shape).reshape(-1)
+    orig = cbfmod._ADD_CHUNK
+    try:
+        cbfmod._ADD_CHUNK = 1000  # force several chunks incl. a short tail
+        chunked = _saturating_update_chunked(
+            jnp.asarray(filt_np), pos.reshape(-1), inc, m
+        )
+    finally:
+        cbfmod._ADD_CHUNK = orig
 
-    assert (np.asarray(dense) == np.asarray(sorted_out)).all()
+    assert (np.asarray(dense) == np.asarray(chunked)).all()

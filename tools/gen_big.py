@@ -104,15 +104,15 @@ def apply_hap(genome, pos, ref_lens, alt_strs, hap_gt) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def write_reads(out_paths, hap_seqs, depth, rng):
+def write_reads(out_paths, hap_seqs, depth, rng, ploidy=2):
     """Fixed-width FASTQ records composed as byte matrices, round-robin
-    across out_paths."""
+    across out_paths.  ``depth`` is total per-locus coverage (each haplotype
+    sequence gets depth/ploidy regardless of chromosome count)."""
     handles = [gzip.open(p, "wb", compresslevel=1) for p in out_paths]
-    rec_head = b"@r%08d\n"
     total_reads = 0
     fi = 0
     for hs in hap_seqs:
-        n_reads = int(len(hs) * (depth / len(hap_seqs)) / READ_LEN)
+        n_reads = int(len(hs) * (depth / ploidy) / READ_LEN)
         chunk = 1 << 19
         for c0 in range(0, n_reads, chunk):
             m = min(chunk, n_reads - c0)

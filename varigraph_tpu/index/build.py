@@ -142,43 +142,43 @@ def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
 
 def _sketch_contexts(contexts: list[str], k: int) -> list[np.ndarray]:
     """Sketch many context strings on device; returns per-context unique
-    k-mer arrays (uint64).  Contexts are bucketed by length to bound padding
-    waste.  Progress is logged every ~5% (reference construct_index.cpp:
-    687-689)."""
+    k-mer arrays (uint64).
+
+    Batch shapes are FULLY FIXED per length bucket -- [AREA/L, L] with L a
+    power of two, short batches padded with empty rows -- so the sketch
+    kernel compiles at most once per bucket.  (Per-batch pow2 padding alone
+    produced a distinct shape per batch; through the remote-compile tunnel
+    each new shape costs minutes, and the 100 Mb rehearsal spent ~25 min of
+    its 30 min construct in these compiles.)  Progress is logged every ~5%
+    (reference construct_index.cpp:687-689)."""
     order = sorted(range(len(contexts)), key=lambda i: len(contexts[i]))
     results: list[np.ndarray | None] = [None] * len(contexts)
     done = 0
     next_pct = 5
+    min_len = 64
+    while min_len < k:
+        min_len *= 2
     i = 0
     while i < len(order):
-        # grow a batch while padded area stays within budget
-        j = i
+        # length bucket: smallest pow2 >= this (shortest remaining) context
+        L = min_len
+        while L < len(contexts[order[i]]):
+            L *= 2
+        rows = max(1, _CTX_BATCH_AREA // L)
         batch_idx: list[int] = []
-        max_len = 1
-        while j < len(order):
-            cand_len = max(max_len, len(contexts[order[j]]))
-            if (len(batch_idx) + 1) * cand_len > _CTX_BATCH_AREA and batch_idx:
-                break
-            max_len = cand_len
-            batch_idx.append(order[j])
-            j += 1
-        i = j
-        seqs = [contexts[b] for b in batch_idx]
-        # pad both dims to powers of two to bound XLA recompilation
-        pad_len = 64
-        while pad_len < max(max_len, k):
-            pad_len *= 2
-        codes = pack_seqs(seqs, max_len=pad_len)
-        pad_rows = 1
-        while pad_rows < codes.shape[0]:
-            pad_rows *= 2
-        if pad_rows != codes.shape[0]:
+        while i < len(order) and len(batch_idx) < rows:
+            if len(contexts[order[i]]) > L:
+                break  # next bucket
+            batch_idx.append(order[i])
+            i += 1
+        codes = pack_seqs([contexts[b] for b in batch_idx], max_len=L)
+        if codes.shape[0] != rows:  # pad to the bucket's fixed row count
             codes = np.concatenate(
-                [codes, np.full((pad_rows - codes.shape[0], pad_len), 4, np.uint8)]
+                [codes, np.full((rows - codes.shape[0], L), 4, np.uint8)]
             )
         values, emit = sketch_codes(jnp.asarray(codes), k)
-        values = np.asarray(values)
-        emit = np.asarray(emit)
+        values = np.asarray(values[: len(batch_idx)])
+        emit = np.asarray(emit[: len(batch_idx)])
         for row, b in enumerate(batch_idx):
             results[b] = np.unique(values[row][emit[row]])
         done += len(batch_idx)

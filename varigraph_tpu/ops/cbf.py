@@ -61,51 +61,53 @@ def _positions(hashes: jnp.ndarray, seeds: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 # filters at or below this size use the dense-histogram add (one u32 cell
-# per counter = 4x the filter's memory, transiently); larger filters use the
-# sort-based add, whose footprint scales with the BATCH, not the filter
-# (a 3 Gbp genome filter is 2^35 cells -- a u32 histogram would be 128 GB)
-_DENSE_ADD_MAX = 1 << 27
+# per counter = 4x the filter's memory, transiently: 4 GiB at the 2^30 cap,
+# fine on a 16 GiB chip); larger filters batch the histogram over position-
+# range CHUNKS so the transient footprint stays at _ADD_CHUNK u32 cells
+# regardless of filter size (a 3 Gbp genome filter is 2^35 cells -- a full
+# u32 histogram would be 128 GB).  A sort-based unique-count formulation was
+# tried first and measured ~36 s/batch at m=2^30: the per-unique-position
+# gather/scatter into a >VMEM array runs at scalar speed, while the
+# histogram scatter-add runs ~170M elem/s.
+_DENSE_ADD_MAX = 1 << 30
+_ADD_CHUNK = 1 << 28
 
 
-def _saturating_update(filt: jnp.ndarray, pos_flat: jnp.ndarray,
-                       m: int) -> jnp.ndarray:
-    """Saturating filt[p] += multiplicity(p) for every position in pos_flat
-    (sentinel m = masked out), without allocating an [m]-sized histogram.
-
-    Sort-based: sorts the positions (sorts are the TPU's fast primitive --
-    ~300M elem/s vs ~170M elem/s scatter, CLAUDE.md), derives per-run counts
-    with scans, then gathers the current counters at each run's last element
-    and scatter-SETS min(cur + count, 255).  Unique targets make the
-    scatter race-free; equivalent to per-element saturating increments."""
-    ps = jax.lax.sort(pos_flat)
-    n = ps.shape[0]
-    idxs = jnp.arange(n, dtype=jnp.int64)
-    neq = ps[1:] != ps[:-1]
-    first = jnp.concatenate([jnp.ones((1,), bool), neq])
-    last = jnp.concatenate([neq, jnp.ones((1,), bool)])
-    run_start = jax.lax.cummax(jnp.where(first, idxs, jnp.int64(0)))
-    count = (idxs - run_start + 1).astype(jnp.uint32)
-    valid = last & (ps < jnp.uint64(m))
-    tgt = jnp.where(valid, ps, jnp.uint64(m)).astype(jnp.int64)  # m drops
-    cur = filt[jnp.minimum(tgt, m - 1)].astype(jnp.uint32)
-    newv = jnp.minimum(cur + count, 255).astype(jnp.uint8)
-    return filt.at[tgt].set(newv, mode="drop")
+def _saturating_update_chunked(filt: jnp.ndarray, pos_flat: jnp.ndarray,
+                               inc_flat: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Saturating filt[p] += multiplicity(p), histogrammed one position-range
+    chunk at a time (all positions are re-scanned per chunk; out-of-range
+    ones drop)."""
+    parts = []
+    for c0 in range(0, m, _ADD_CHUNK):
+        width = min(_ADD_CHUNK, m - c0)
+        rel = pos_flat - jnp.uint64(c0)
+        inr = rel < jnp.uint64(width)  # unsigned: below-range wraps
+        idx = jnp.where(inr, rel, jnp.uint64(width)).astype(jnp.int32)
+        hist = jnp.zeros((width,), jnp.uint32).at[idx].add(
+            inc_flat, mode="drop"
+        )
+        parts.append(
+            jnp.minimum(
+                jax.lax.dynamic_slice(filt, (c0,), (width,)).astype(jnp.uint32)
+                + hist,
+                255,
+            ).astype(jnp.uint8)
+        )
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
 @functools.partial(jax.jit, static_argnames=("m",), donate_argnums=(0,))
 def _add(filt: jnp.ndarray, hashes: jnp.ndarray, mask: jnp.ndarray,
          seeds: jnp.ndarray, m: int) -> jnp.ndarray:
     pos = _positions(hashes, seeds, m)  # [kh, N]
+    inc = jnp.broadcast_to(mask.astype(jnp.uint32), pos.shape).reshape(-1)
     if m <= _DENSE_ADD_MAX:
-        inc = jnp.broadcast_to(mask.astype(jnp.uint32), pos.shape)
-        hist = jnp.zeros((m,), jnp.uint32).at[pos.reshape(-1)].add(
-            inc.reshape(-1)
-        )
+        hist = jnp.zeros((m,), jnp.uint32).at[pos.reshape(-1)].add(inc)
         return jnp.minimum(filt.astype(jnp.uint32) + hist, 255).astype(
             jnp.uint8
         )
-    posm = jnp.where(mask[None, :], pos, jnp.uint64(m)).reshape(-1)
-    return _saturating_update(filt, posm, m)
+    return _saturating_update_chunked(filt, pos.reshape(-1), inc, m)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))

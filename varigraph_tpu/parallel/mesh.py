@@ -139,7 +139,11 @@ def make_cbf_add_sharded(mesh: Mesh, m: int, num_hashes: int):
 
     ``m`` must be divisible by the mesh size (CBF sizes are powers of two).
     """
-    from ..ops.cbf import _DENSE_ADD_MAX, _positions, _saturating_update
+    from ..ops.cbf import (
+        _DENSE_ADD_MAX,
+        _positions,
+        _saturating_update_chunked,
+    )
 
     n_dev = mesh.devices.size
     assert m % n_dev == 0, (m, n_dev)
@@ -159,8 +163,11 @@ def make_cbf_add_sharded(mesh: Mesh, m: int, num_hashes: int):
             return jnp.minimum(filt_l.astype(jnp.uint32) + hist, 255).astype(
                 jnp.uint8
             )
-        # large shards: sort-based saturating add (no [m_l] u32 histogram)
-        return _saturating_update(filt_l, local.reshape(-1), m_l)
+        # huge shards: position-range-chunked histogram (bounded transient)
+        return _saturating_update_chunked(
+            filt_l, local.reshape(-1), inrange.astype(jnp.uint32).reshape(-1),
+            m_l,
+        )
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
