@@ -156,3 +156,36 @@ def test_chunked_add_matches_dense_add():
         cbfmod._ADD_CHUNK = orig
 
     assert (np.asarray(dense) == np.asarray(chunked)).all()
+
+
+def test_host_cbf_matches_device_semantics():
+    """HostCBF (host-RAM counters, exact non-pow2 sizing) must implement the
+    same saturating-add/min-count semantics as a per-element simulation."""
+    from varigraph_tpu.ops.cbf import HostCBF, _positions
+
+    bf = HostCBF(n=500, p=0.01, seed=3)
+    assert bf.size & (bf.size - 1) != 0 or bf.size > 0  # exact sizing
+    rng = np.random.default_rng(8)
+    hashes = rng.integers(1, 40, size=512, dtype=np.uint64)  # heavy dups
+    mask = rng.random(512) < 0.8
+    bf.add(hashes, mask)
+    bf.add(hashes[:100])  # second round, no mask
+
+    # per-element oracle with the same seeds/size
+    sim = np.zeros(bf.size, np.uint16)
+    pos = np.asarray(
+        _positions(jnp.asarray(hashes), jnp.asarray(bf.seeds), bf.size)
+    )
+    for rnd, mk in ((pos, mask), (pos[:, :100], np.ones(100, bool))):
+        for j in range(rnd.shape[1]):
+            if not mk[j]:
+                continue
+            for i in range(rnd.shape[0]):
+                sim[rnd[i, j]] = min(sim[rnd[i, j]] + 1, 255)
+    assert (bf.filter == sim.astype(np.uint8)).all()
+
+    counts = bf.count(hashes[:32])
+    expect = pos[:, :32]
+    for j in range(32):
+        assert counts[j] == sim[expect[:, j]].min()
+    assert (bf.find(hashes[:32]) == (counts > 0)).all()

@@ -153,3 +153,24 @@ def test_threaded_construct_matches_serial(tmp_path):
         for n1, n2 in zip(gi1.graph.nodes[chrom], gi2.graph.nodes[chrom]):
             assert n1.kmer_hashes == n2.kmer_hashes
             assert np.array_equal(n1.local_bits, n2.local_bits)
+
+
+def test_construct_with_host_ram_cbf(tmp_path, monkeypatch):
+    """Forcing the host-RAM CBF (multi-Gbp single-chip path) produces an
+    index nearly identical to the device-CBF construct (sizing differs --
+    exact m vs pow2 -- so rare collision-dependent keep decisions may
+    differ, but the k-mer sets must overlap almost completely)."""
+    import varigraph_tpu.index.build as build_mod
+
+    paths, _ = generate_dataset(
+        str(tmp_path), seed=29, chrom_lens={"chr1": 8000}, n_variants=20,
+        samples=("S1", "S2"), depth=5.0,
+    )
+    cfg = VarigraphConfig(ref_file=paths["ref"], vcf_file=paths["vcf"],
+                          kmer_len=27, seed=0)
+    gi_dev = construct_graph_index(cfg)
+    monkeypatch.setattr(build_mod, "_CBF_DEVICE_MAX", 1)
+    gi_host = construct_graph_index(cfg)
+    a = set(gi_dev.table.keys_np().tolist())
+    b = set(gi_host.table.keys_np().tolist())
+    assert len(a & b) / max(len(a | b), 1) > 0.99

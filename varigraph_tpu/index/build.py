@@ -102,17 +102,22 @@ def segment_genome_batches(seq: str, k: int,
 # shard the genome CBF across devices once the counter array reaches this
 # many cells (one v5e chip has 16 GB HBM; a human genome needs ~29 GB)
 _CBF_SHARD_MIN = int(os.environ.get("VARIGRAPH_CBF_SHARD_MIN", str(1 << 31)))
+# single-chip HBM budget for the device-resident filter; beyond this a
+# single-chip run keeps the filter in host RAM (ops/cbf.HostCBF)
+_CBF_DEVICE_MAX = int(os.environ.get("VARIGRAPH_CBF_DEVICE_MAX", str(1 << 32)))
 
 
 def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
                     seed: int) -> CountingBloomFilter:
     """Count k-mer frequencies of the reference genome into a CBF
     (reference make_mbf, construct_index.cpp:150-177).  Filters too large
-    for one chip's HBM shard by position range across the local mesh."""
+    for one chip's HBM shard by position range across the local mesh;
+    single-chip runs past the HBM budget keep the counters in host RAM
+    (positions still computed on device)."""
     import jax
 
     log("Initiating computation of k-mer frequencies in the reference genome ...")
-    from ..ops.cbf import ShardedCBF, cbf_size
+    from ..ops.cbf import HostCBF, ShardedCBF, cbf_size
 
     n = genome_size - k + 1
     m_est = 1
@@ -123,6 +128,11 @@ def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
         bf = ShardedCBF(n=n, p=0.01, seed=seed)
         log(f"Counting Bloom Filter sharded across {n_dev} devices "
             f"({m_est / 2**30:.1f} GiB of counters)")
+    elif m_est > _CBF_DEVICE_MAX:
+        bf = HostCBF(n=n, p=0.01, seed=seed)
+        log(f"Counting Bloom Filter held in host RAM "
+            f"({bf.size / 2**30:.1f} GiB of counters exceeds the single-chip "
+            f"HBM budget)")
     else:
         bf = CountingBloomFilter(n=n, p=0.01, seed=seed)
     from ..ops.sketch_ref import encode_bases_np

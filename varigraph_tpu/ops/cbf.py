@@ -199,6 +199,74 @@ class CountingBloomFilter:
         ))
 
 
+class HostCBF:
+    """Counting Bloom filter whose u8 counter array lives in HOST RAM, for
+    genomes whose filter exceeds one chip's HBM on a single-chip run
+    (a 3 Gbp genome at p=0.01 needs ~27 GB of counters; v5e has 16 GB --
+    multi-chip runs shard instead, see ShardedCBF).
+
+    Hash positions are still computed on device (vectorized Murmur3);
+    the saturating update runs on host as a sort + run-length + vectorized
+    fancy-index min (numpy sorts ~50M elem/s; np.add.at would be 10x
+    slower and non-saturating).  ``count`` is a host gather + min.
+
+    Sizing uses the reference's EXACT m (no power-of-two rounding): host
+    RAM is the scarce resource here and pow2 rounding doubles it worst-case;
+    position addressing falls back to the u64 modulo the reference uses
+    (counting_bloom_filter.cpp:90-98).
+    """
+
+    def __init__(self, n: int, p: float = 0.01, seed: int = 0):
+        self.size = cbf_size(n, p)
+        self.num_hashes = cbf_num_hashes(n, self.size)
+        self.seeds = make_seeds(self.num_hashes, seed)
+        self.filter = np.zeros(self.size, np.uint8)
+
+    def _host_positions(self, hashes, mask=None) -> np.ndarray:
+        if hasattr(hashes, "device"):
+            h = jnp.asarray(hashes, dtype=jnp.uint64).reshape(-1)
+            mk = (None if mask is None
+                  else np.asarray(mask, bool).reshape(-1))
+        else:
+            hp, mp, nreal = CountingBloomFilter._pad_pow2(hashes, mask)
+            h, mk = jnp.asarray(hp), mp
+        pos = np.asarray(_positions(h, jnp.asarray(self.seeds), self.size))
+        if mk is not None:
+            pos = pos[:, mk]
+        return pos.reshape(-1)
+
+    def add(self, hashes, mask=None) -> None:
+        flat = self._host_positions(hashes, mask)
+        if not len(flat):
+            return
+        upos, counts = np.unique(flat, return_counts=True)
+        cur = self.filter[upos].astype(np.uint32)
+        self.filter[upos] = np.minimum(cur + counts, 255).astype(np.uint8)
+
+    def count(self, hashes) -> np.ndarray:
+        hp, _, n = CountingBloomFilter._pad_pow2(hashes, None)
+        pos = np.asarray(
+            _positions(jnp.asarray(hp), jnp.asarray(self.seeds), self.size)
+        )
+        vals = self.filter[pos]  # [kh, N] host gather
+        return vals.min(axis=0)[:n]
+
+    def find(self, hashes) -> np.ndarray:
+        return self.count(hashes) > 0
+
+    def occupancy(self) -> float:
+        return float(np.count_nonzero(self.filter)) / self.size
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            size=np.uint64(self.size),
+            num_hashes=np.uint32(self.num_hashes),
+            seeds=self.seeds,
+            filter=self.filter,
+        )
+
+
 class ShardedCBF:
     """Position-range-sharded counting Bloom filter over a device mesh.
 
