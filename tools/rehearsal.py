@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--graph", default=None,
                     help="graph path (default DATA_DIR/graph.vgt)")
     ap.add_argument("--skip-construct", action="store_true")
+    ap.add_argument("--construct-only", action="store_true")
     ap.add_argument("--threads", type=int, default=2)
     ap.add_argument("--engine", default="jax")
     args = ap.parse_args()
@@ -63,6 +64,14 @@ def main():
         phases["save_graph"] = time.perf_counter() - t0
         log(f"[rehearsal] construct {phases['construct']:.1f}s, "
             f"save {phases['save_graph']:.1f}s, RSS {rss_gb():.2f} GB")
+        if args.construct_only:
+            print("\n=== rehearsal summary (construct only) ===")
+            for k, v in phases.items():
+                print(f"  {k:16s} {v:9.1f} s")
+            print(f"  peak RSS        {rss_gb():9.2f} GB")
+            print(f"  table size      {gi.table.size}")
+            print("  RESULT: PASS (construct only)")
+            return 0
         del gi
 
     from varigraph_tpu.genotype.engine_np import graph2node
