@@ -148,14 +148,26 @@ def test_chunked_add_matches_dense_add():
     inc = jnp.broadcast_to(mask.astype(jnp.uint32), pos.shape).reshape(-1)
     orig = cbfmod._ADD_CHUNK
     try:
-        cbfmod._ADD_CHUNK = 1000  # force several chunks incl. a short tail
-        chunked = _saturating_update_chunked(
-            jnp.asarray(filt_np), pos.reshape(-1), inc, m
-        )
+        # 1000: non-dividing chunk (1-D path with a short tail);
+        # 1024: dividing chunk (2-D in-place path used for huge filters)
+        for chunk_size in (1000, 1024):
+            cbfmod._ADD_CHUNK = chunk_size
+            chunked = _saturating_update_chunked(
+                jnp.asarray(filt_np), pos.reshape(-1), inc, m
+            )
+            assert (np.asarray(dense) == np.asarray(chunked)).all(), chunk_size
+
+        # mid path (2^30 < m <= 2^31): one full scatter histogram + chunked
+        # in-place combine
+        from varigraph_tpu.ops.cbf import _combine_hist_chunked
+
+        hist = jnp.zeros((m,), jnp.uint32).at[pos.reshape(-1)].add(inc)
+        for chunk_size in (1000, 1024):
+            cbfmod._ADD_CHUNK = chunk_size
+            mid = _combine_hist_chunked(jnp.asarray(filt_np), hist, m)
+            assert (np.asarray(dense) == np.asarray(mid)).all(), chunk_size
     finally:
         cbfmod._ADD_CHUNK = orig
-
-    assert (np.asarray(dense) == np.asarray(chunked)).all()
 
 
 def test_host_cbf_matches_device_semantics():
@@ -189,3 +201,38 @@ def test_host_cbf_matches_device_semantics():
     for j in range(32):
         assert counts[j] == sim[expect[:, j]].min()
     assert (bf.find(hashes[:32]) == (counts > 0)).all()
+
+
+def test_passwise_genome_cbf_matches_hostcbf(monkeypatch):
+    """PasswiseGenomeCBF (range-at-a-time fused build+count, never holding
+    the full filter) must return exactly the counts of an incrementally
+    built filter with the same sizing and seeds."""
+    from varigraph_tpu.ops.cbf import HostCBF, PasswiseGenomeCBF
+    from varigraph_tpu.index.build import segment_genome_batches
+    from varigraph_tpu.ops.kmer import sketch_codes
+
+    rng = np.random.default_rng(13)
+    seq = "".join(rng.choice(list("ACGT"), size=3000))
+    k = 27
+    n = len(seq) - k + 1
+
+    ref = HostCBF(n=n, p=0.01, seed=5)
+    all_values = []
+    for batch in segment_genome_batches(seq, k):
+        values, emit = sketch_codes(jnp.asarray(batch), k)
+        ref.add(values, emit)
+        v = np.asarray(values).reshape(-1)[np.asarray(emit).reshape(-1)]
+        all_values.append(v)
+    queries = np.concatenate([
+        np.unique(np.concatenate(all_values))[:200],
+        rng.integers(1, 1 << 60, size=100, dtype=np.uint64),
+    ])
+
+    monkeypatch.setattr(PasswiseGenomeCBF, "RANGE_WIDTH", 4096)  # many passes
+    pw = PasswiseGenomeCBF({"chr1": seq}, n=n, k=k, p=0.01, seed=5)
+    assert pw.size == ref.size and (pw.seeds == ref.seeds).all()
+    got = pw.count(queries)
+    want = ref.count(queries)
+    assert (got == want).all()
+    assert (got[:200] >= 1).all()  # genome k-mers present
+    assert abs(pw.occupancy() - ref.occupancy()) < 1e-12

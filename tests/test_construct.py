@@ -155,8 +155,8 @@ def test_threaded_construct_matches_serial(tmp_path):
             assert np.array_equal(n1.local_bits, n2.local_bits)
 
 
-def test_construct_with_host_ram_cbf(tmp_path, monkeypatch):
-    """Forcing the host-RAM CBF (multi-Gbp single-chip path) produces an
+def test_construct_with_passwise_cbf(tmp_path, monkeypatch):
+    """Forcing the pass-wise CBF (multi-Gbp single-chip path) produces an
     index nearly identical to the device-CBF construct (sizing differs --
     exact m vs pow2 -- so rare collision-dependent keep decisions may
     differ, but the k-mer sets must overlap almost completely)."""

@@ -103,8 +103,10 @@ def segment_genome_batches(seq: str, k: int,
 # many cells (one v5e chip has 16 GB HBM; a human genome needs ~29 GB)
 _CBF_SHARD_MIN = int(os.environ.get("VARIGRAPH_CBF_SHARD_MIN", str(1 << 31)))
 # single-chip HBM budget for the device-resident filter; beyond this a
-# single-chip run keeps the filter in host RAM (ops/cbf.HostCBF)
-_CBF_DEVICE_MAX = int(os.environ.get("VARIGRAPH_CBF_DEVICE_MAX", str(1 << 32)))
+# single-chip run keeps the filter in host RAM (ops/cbf.HostCBF).  2^31 is
+# both the memory sweet spot (8 GiB scatter histogram + 2 GiB filter) and
+# XLA TPU's 1-D index-space limit (32-bit indices).
+_CBF_DEVICE_MAX = int(os.environ.get("VARIGRAPH_CBF_DEVICE_MAX", str(1 << 31)))
 
 
 def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
@@ -117,7 +119,7 @@ def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
     import jax
 
     log("Initiating computation of k-mer frequencies in the reference genome ...")
-    from ..ops.cbf import HostCBF, ShardedCBF, cbf_size
+    from ..ops.cbf import PasswiseGenomeCBF, ShardedCBF, cbf_size
 
     n = genome_size - k + 1
     m_est = 1
@@ -129,13 +131,19 @@ def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
         log(f"Counting Bloom Filter sharded across {n_dev} devices "
             f"({m_est / 2**30:.1f} GiB of counters)")
     elif m_est > _CBF_DEVICE_MAX:
-        bf = HostCBF(n=n, p=0.01, seed=seed)
-        log(f"Counting Bloom Filter held in host RAM "
+        # single chip, filter beyond HBM: pass-wise fused build+count --
+        # the filter only ever exists as transient device ranges; the adds
+        # happen inside bf.count() during graph indexing
+        bf = PasswiseGenomeCBF(fasta_map, n=n, k=k, p=0.01, seed=seed)
+        log(f"Counting Bloom Filter built pass-wise in "
+            f"{-(-bf.size // bf.RANGE_WIDTH)} device ranges "
             f"({bf.size / 2**30:.1f} GiB of counters exceeds the single-chip "
             f"HBM budget)")
+        log(f"Counting Bloom Filter size: {bf.size}")
+        log(f"Hash functions count: {bf.num_hashes}")
+        return bf
     else:
         bf = CountingBloomFilter(n=n, p=0.01, seed=seed)
-    from ..ops.sketch_ref import encode_bases_np
 
     for chrom, seq in fasta_map.items():
         for batch in segment_genome_batches(seq, k):

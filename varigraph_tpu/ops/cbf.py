@@ -60,25 +60,68 @@ def _positions(hashes: jnp.ndarray, seeds: jnp.ndarray, m: int) -> jnp.ndarray:
     return out
 
 
-# filters at or below this size use the dense-histogram add (one u32 cell
-# per counter = 4x the filter's memory, transiently: 4 GiB at the 2^30 cap,
-# fine on a 16 GiB chip); larger filters batch the histogram over position-
-# range CHUNKS so the transient footprint stays at _ADD_CHUNK u32 cells
-# regardless of filter size (a 3 Gbp genome filter is 2^35 cells -- a full
-# u32 histogram would be 128 GB).  A sort-based unique-count formulation was
-# tried first and measured ~36 s/batch at m=2^30: the per-unique-position
-# gather/scatter into a >VMEM array runs at scalar speed, while the
-# histogram scatter-add runs ~170M elem/s.
+# Saturating-add size ladder (measured on v5e through the axon tunnel):
+#   m <= 2^30: full dense u32 histogram + one full-array combine (4 GiB
+#     transient; the whole CBF phase of a 100 Mb genome runs in ~36 s).
+#   m <= 2^31: still ONE full-size scatter histogram (8 GiB; the scatter
+#     index fits int32) but the saturating combine walks [_ADD_CHUNK]-row
+#     slices in place -- the full-array u32 combine would need ~20 GiB.
+#   m >= 2^32: use ops.cbf.HostCBF (wired in index/build.make_genome_cbf)
+#     or the sharded CBF -- XLA TPU rejects gathers/updates whose 1-D index
+#     space exceeds 32 bits, and the per-chunk re-scatter fallback below
+#     (kept for the sharded path's oversized shards) measured ~14 s/batch:
+#     one scatter pass per chunk multiplies the scatter work by m/chunk.
+# Rejected design: sort-based unique-count update -- ~36 s/batch at m=2^30;
+# per-unique-position gather/scatter into a >VMEM array runs at scalar
+# speed, while the histogram scatter-add runs ~170M elem/s.
 _DENSE_ADD_MAX = 1 << 30
+_DEVICE_ADD_MAX = 1 << 31
 _ADD_CHUNK = 1 << 28
+
+
+def _combine_hist_chunked(filt: jnp.ndarray, hist: jnp.ndarray,
+                          m: int) -> jnp.ndarray:
+    """filt = min(filt + hist, 255) one [_ADD_CHUNK] slice at a time, in
+    place on the donated filter (bounds the u32 intermediates)."""
+    for c0 in range(0, m, _ADD_CHUNK):
+        width = min(_ADD_CHUNK, m - c0)
+        chunk = jnp.minimum(
+            jax.lax.dynamic_slice(filt, (c0,), (width,)).astype(jnp.uint32)
+            + jax.lax.dynamic_slice(hist, (c0,), (width,)),
+            255,
+        ).astype(jnp.uint8)
+        filt = jax.lax.dynamic_update_slice(filt, chunk, (c0,))
+    return filt
 
 
 def _saturating_update_chunked(filt: jnp.ndarray, pos_flat: jnp.ndarray,
                                inc_flat: jnp.ndarray, m: int) -> jnp.ndarray:
     """Saturating filt[p] += multiplicity(p), histogrammed one position-range
     chunk at a time (all positions are re-scanned per chunk; out-of-range
-    ones drop)."""
-    parts = []
+    ones drop).
+
+    Each chunk is written back with dynamic_update_slice on the (donated)
+    filter so the update runs in place -- a concatenate-of-parts version
+    kept the old filter plus every part live and OOMed at m=2^32 (19.1 G
+    peak on a 15.75 G chip).  When m is a multiple of the chunk, the filter
+    is viewed as [m/chunk, chunk] so per-dimension indices stay within
+    32 bits (XLA TPU rejects >2^31-element 1-D update indices)."""
+    if m % _ADD_CHUNK == 0:
+        rows = m // _ADD_CHUNK
+        f2 = filt.reshape(rows, _ADD_CHUNK)
+        for r in range(rows):
+            c0 = r * _ADD_CHUNK
+            rel = pos_flat - jnp.uint64(c0)
+            inr = rel < jnp.uint64(_ADD_CHUNK)  # unsigned: below-range wraps
+            idx = jnp.where(inr, rel, jnp.uint64(_ADD_CHUNK)).astype(jnp.int32)
+            hist = jnp.zeros((_ADD_CHUNK,), jnp.uint32).at[idx].add(
+                inc_flat, mode="drop"
+            )
+            chunk = jnp.minimum(f2[r].astype(jnp.uint32) + hist, 255).astype(
+                jnp.uint8
+            )
+            f2 = jax.lax.dynamic_update_slice(f2, chunk[None], (r, 0))
+        return f2.reshape(m)
     for c0 in range(0, m, _ADD_CHUNK):
         width = min(_ADD_CHUNK, m - c0)
         rel = pos_flat - jnp.uint64(c0)
@@ -87,14 +130,13 @@ def _saturating_update_chunked(filt: jnp.ndarray, pos_flat: jnp.ndarray,
         hist = jnp.zeros((width,), jnp.uint32).at[idx].add(
             inc_flat, mode="drop"
         )
-        parts.append(
-            jnp.minimum(
-                jax.lax.dynamic_slice(filt, (c0,), (width,)).astype(jnp.uint32)
-                + hist,
-                255,
-            ).astype(jnp.uint8)
-        )
-    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        chunk = jnp.minimum(
+            jax.lax.dynamic_slice(filt, (c0,), (width,)).astype(jnp.uint32)
+            + hist,
+            255,
+        ).astype(jnp.uint8)
+        filt = jax.lax.dynamic_update_slice(filt, chunk, (c0,))
+    return filt
 
 
 @functools.partial(jax.jit, static_argnames=("m",), donate_argnums=(0,))
@@ -107,6 +149,9 @@ def _add(filt: jnp.ndarray, hashes: jnp.ndarray, mask: jnp.ndarray,
         return jnp.minimum(filt.astype(jnp.uint32) + hist, 255).astype(
             jnp.uint8
         )
+    if m <= _DEVICE_ADD_MAX:
+        hist = jnp.zeros((m,), jnp.uint32).at[pos.reshape(-1)].add(inc)
+        return _combine_hist_chunked(filt, hist, m)
     return _saturating_update_chunked(filt, pos.reshape(-1), inc, m)
 
 
@@ -115,6 +160,19 @@ def _count(filt: jnp.ndarray, hashes: jnp.ndarray, seeds: jnp.ndarray, m: int):
     pos = _positions(hashes, seeds, m)  # [kh, N]
     vals = filt[pos]  # [kh, N] u8
     return jnp.min(vals, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _nonzero_frac(filt: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Fraction of nonzero counters, reduced one chunk at a time so no
+    full-filter f32/i32 intermediate materializes (a plain mean() OOMed at
+    m=2^32: 16 GB of f32)."""
+    total = jnp.uint32(0)
+    for c0 in range(0, m, _ADD_CHUNK):
+        width = min(_ADD_CHUNK, m - c0)
+        chunk = jax.lax.dynamic_slice(filt, (c0,), (width,))
+        total = total + jnp.sum(chunk > 0, dtype=jnp.uint32)
+    return total.astype(jnp.float64) / m
 
 
 class CountingBloomFilter:
@@ -178,7 +236,7 @@ class CountingBloomFilter:
 
     def occupancy(self) -> float:
         """Fraction of nonzero counters (reference get_cap, :100-115)."""
-        return float(jnp.mean((self.filter > 0).astype(jnp.float32)))
+        return float(_nonzero_frac(self.filter, self.size))
 
     # ---------------------------------------------------------- persistence
     def save(self, path: str) -> None:
@@ -265,6 +323,124 @@ class HostCBF:
             seeds=self.seeds,
             filter=self.filter,
         )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m", "width"),
+                   donate_argnums=(0,))
+def _range_add_batch(filt_range: jnp.ndarray, codes: jnp.ndarray,
+                     seeds: jnp.ndarray, c0: jnp.ndarray, k: int, m: int,
+                     width: int) -> jnp.ndarray:
+    """Fused genome-batch -> CBF-range update: sketch the [B, L] code batch,
+    hash to filter positions, histogram the positions inside [c0, c0+width),
+    saturating-add into the resident range.  c0 is traced (one compile for
+    all passes)."""
+    from .kmer import sketch_codes
+
+    values, emit = sketch_codes(codes, k)
+    pos = _positions(values.reshape(-1), seeds, m)        # [kh, Nw]
+    inc = jnp.broadcast_to(
+        emit.reshape(-1).astype(jnp.uint32), pos.shape
+    ).reshape(-1)
+    rel = pos.reshape(-1) - c0.astype(jnp.uint64)
+    idx = jnp.where(rel < jnp.uint64(width), rel,
+                    jnp.uint64(width)).astype(jnp.int32)
+    hist = jnp.zeros((width,), jnp.uint32).at[idx].add(inc, mode="drop")
+    return jnp.minimum(filt_range.astype(jnp.uint32) + hist, 255).astype(
+        jnp.uint8
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("m", "width"))
+def _range_min_counts(counts: jnp.ndarray, filt_range: jnp.ndarray,
+                      hashes: jnp.ndarray, seeds: jnp.ndarray,
+                      c0: jnp.ndarray, m: int, width: int) -> jnp.ndarray:
+    """counts = min(counts, filter value) for every query hash whose position
+    falls inside the resident range (out-of-range contributes 255)."""
+    pos = _positions(hashes, seeds, m)                    # [kh, Q]
+    rel = pos - c0.astype(jnp.uint64)
+    inr = rel < jnp.uint64(width)
+    idx = jnp.where(inr, rel, jnp.uint64(0)).astype(jnp.int32)
+    vals = jnp.where(inr, filt_range[idx], jnp.uint8(255))
+    return jnp.minimum(counts, jnp.min(vals, axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _range_nonzero(filt_range: jnp.ndarray, width: int) -> jnp.ndarray:
+    total = jnp.uint32(0)
+    for c0 in range(0, width, _ADD_CHUNK):
+        w = min(_ADD_CHUNK, width - c0)
+        chunk = jax.lax.dynamic_slice(filt_range, (c0,), (w,))
+        total = total + jnp.sum(chunk > 0, dtype=jnp.uint32)
+    return total
+
+
+class PasswiseGenomeCBF:
+    """Genome CBF for filters beyond one chip's HBM, built and queried in
+    position-range PASSES that never materialize the whole filter anywhere.
+
+    The filter exists only as a transient [range_width] device array: pass r
+    re-scans the (device-staged) genome code batches, scatter-adds the
+    positions landing in range r, takes the min over that range for every
+    query k-mer, and drops the range.  Total data movement is one genome
+    upload plus one [Q] u8 count download -- vs ~kh * 8 bytes per genome
+    k-mer of host round-trips for a host-resident filter (measured ~18
+    s/batch through the remote tunnel).  Sizing matches HostCBF (exact m,
+    modulo addressing).
+
+    This trades R = ceil(m / range_width) genome re-sketches for the memory:
+    sketch + Murmur are a few ms/batch on the VPU, so even a 3 Gbp genome
+    (m = 2^35, 27 passes) costs minutes, not hours.
+    """
+
+    RANGE_WIDTH = 1 << 30
+
+    def __init__(self, fasta_map: dict[str, str], n: int, k: int,
+                 p: float = 0.01, seed: int = 0):
+        self.size = cbf_size(n, p)
+        self.num_hashes = cbf_num_hashes(n, self.size)
+        self.seeds = make_seeds(self.num_hashes, seed)
+        self._fasta_map = fasta_map
+        self._k = k
+        self._nonzero = None  # filled by count()
+
+    def count(self, hashes) -> np.ndarray:
+        """Build all ranges and return min-counts for the query hashes."""
+        from ..index.build import segment_genome_batches
+
+        hp, _, nreal = CountingBloomFilter._pad_pow2(hashes, None)
+        q = jnp.asarray(hp)
+        counts = jnp.full(q.shape, 255, jnp.uint8)
+        seeds = jnp.asarray(self.seeds)
+
+        # stage the genome's code batches on device once; reused every pass
+        staged = []
+        for chrom, seq in self._fasta_map.items():
+            for batch in segment_genome_batches(seq, self._k):
+                staged.append(jnp.asarray(batch))
+
+        m = self.size
+        width = min(self.RANGE_WIDTH, m)
+        nonzero = 0
+        for c0 in range(0, m, width):
+            filt_range = jnp.zeros((width,), jnp.uint8)
+            c0_t = jnp.uint64(c0)
+            for codes in staged:
+                filt_range = _range_add_batch(
+                    filt_range, codes, seeds, c0_t, self._k, m, width
+                )
+            counts = _range_min_counts(
+                counts, filt_range, q, seeds, c0_t, m, width
+            )
+            nonzero += int(_range_nonzero(filt_range, width))
+            del filt_range
+        self._nonzero = nonzero
+        return np.asarray(counts)[:nreal]
+
+    def find(self, hashes) -> np.ndarray:
+        return self.count(hashes) > 0
+
+    def occupancy(self) -> float:
+        return (self._nonzero or 0) / self.size
 
 
 class ShardedCBF:
