@@ -27,6 +27,19 @@ _MAGIC = "varigraph-tpu-graph"
 _VERSION = 1
 
 
+def _savez_level1(fh, **arrays) -> None:
+    """np.savez_compressed with deflate level 1: same .npz container
+    (np.load-compatible) but ~10x faster to write -- savez_compressed's
+    fixed level 6 took 101 s for a 300 Mb genome's graph."""
+    import zipfile
+
+    with zipfile.ZipFile(fh, "w", zipfile.ZIP_DEFLATED, allowZip64=True,
+                         compresslevel=1) as zf:
+        for name, arr in arrays.items():
+            with zf.open(f"{name}.npy", "w", force_zip64=True) as member:
+                np.lib.format.write_array(member, np.asanyarray(arr))
+
+
 def save_graph(gi: GraphIndex, path: str) -> None:
     log(f"Genome Graph index saved to file: {path}")
     chroms = sorted(gi.graph.nodes.keys())
@@ -84,7 +97,7 @@ def save_graph(gi: GraphIndex, path: str) -> None:
     }
 
     fh = open(path, "wb")  # pass a handle so numpy keeps the exact filename
-    np.savez_compressed(
+    _savez_level1(
         fh,
         meta=np.frombuffer(json.dumps(meta).encode("utf-8"), np.uint8),
         vcf_head=np.frombuffer(gi.vcf_head.encode("utf-8"), np.uint8),
