@@ -1,21 +1,40 @@
-"""Benchmark harness: read k-mer counting throughput per chip.
+"""Benchmark harness: read k-mer counting throughput per chip, SELF-VERIFYING.
 
 Prints ONE JSON line to stdout:
   {"metric": "read_kmers_per_sec_per_chip", "value": N, "unit": "kmers/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "device_loop_value": N2, "device_vs_baseline": R2,
+   "verified": true, ...}
 
-vs_baseline = our counting throughput / the reference C++ binary's counting
-throughput measured on this host (its FASTQ k-mer collection phase, timed
-from its own log timestamps).  The reference publishes no numbers
-(BASELINE.md), so the baseline is measured, not transcribed.
+The headline ``value`` is the END-TO-END counting throughput (gz streaming +
+packing + H2D + device join), the number a user actually sees; the
+pure-device loop (pre-staged batches, excludes H2D) is reported separately
+as ``device_loop_value``.  vs_baseline = end-to-end / the reference C++
+binary's counting phase measured on this host (the reference publishes no
+numbers, BASELINE.md).
+
+Why self-verifying: BENCH_r02's driver-captured headline was a measurement
+artifact -- identical re-dispatches of the same jitted chain over the same
+device buffers returned in ~2 ms through the remote-execution tunnel
+(51.7 G kmers/s, ~150x the measured 342M/s kernel ceiling).  Every trial
+here therefore
+  1. computes on FRESH inputs (per-trial salts added to the accumulators,
+     so no (executable, buffers) pair ever repeats),
+  2. must produce cov.sum() exactly equal to an expected hit count
+     (established once and cross-checked between the device loop and the
+     independent end-to-end path),
+  3. is REJECTED if its implied throughput exceeds a physical bound
+     (PHYS_MAX_KMERS_PER_SEC = 4x the measured Pallas banded-join ceiling
+     of 342M kmers/s on v5e, tools/join_probe6.py), and
+  4. the whole pipeline is anchored against the pure-Python spec oracle
+     (ops/sketch_ref) on a subset of real reads, joined on host with
+     numpy searchsorted and compared per-key to a device dispatch of the
+     production shape.
+The recorded number is the MEDIAN of valid trials, not the max.
 
 Both sides read the SAME inputs: the sample's reads split across 4 gz FASTQ
 files (the reference accepts multi-file samples but streams them strictly
 sequentially, src/fastq_kmer.cpp:41-63; our feed decompresses files on
-parallel threads).  The headline value is max(pure-device loop, end-to-end
-incl. gz streaming); the device loop is repeated and the best repeat kept
-because wall timings through the axon tunnel carry erratic multi-second
-stalls (CLAUDE.md) that are not chip time.
+parallel threads).  Reference counting phase: src/fastq_kmer.cpp:65-187.
 
 Dataset (cached in .bench_cache/): 2 Mb synthetic genome, 2000 variants,
 ~20x reads for one sample; our graph index built once and reused.
@@ -24,6 +43,7 @@ Dataset (cached in .bench_cache/): 2 Mb synthetic genome, 2000 variants,
 import json
 import os
 import re
+import statistics
 import subprocess
 import sys
 import time
@@ -39,6 +59,15 @@ READ_LEN = 150
 N_FILES = 4   # reads split across gz files; both sides get the same list
 REPEATS = 3   # each file passed this many times
 DEVICE_TRIALS = 3
+E2E_TRIALS = 3
+ORACLE_READS = 128  # reads host-verified against ops/sketch_ref
+
+# Physical plausibility ceiling: the Pallas banded merge-join (the fastest
+# measured counting kernel on v5e) runs 342M kmers/s device-side
+# (ops/join_pallas.py, tools/join_probe6.py).  Any trial implying more than
+# 4x that is a measurement artifact (e.g. tunnel-side result caching), not
+# chip time, and is rejected.
+PHYS_MAX_KMERS_PER_SEC = 4 * 342e6
 
 
 def log(msg):
@@ -112,11 +141,66 @@ def count_total_kmers(fq_paths):
     return total
 
 
+def read_first_seqs(fq_path, n):
+    import gzip
+
+    seqs = []
+    with gzip.open(fq_path, "rb") as fh:
+        for i, line in enumerate(fh):
+            if i % 4 == 1:
+                seqs.append(line.rstrip(b"\n"))
+                if len(seqs) == n:
+                    break
+    return seqs
+
+
+def oracle_check(keys_np, batch_shape, fuse, step, cov_template, keys_dev, fq):
+    """Anchor the production counting dispatch against the pure-Python spec
+    oracle: ORACLE_READS real reads are packed into row 0.. of an otherwise
+    empty stack of the PRODUCTION shape (so no extra compile), counted on
+    device, and the per-key counts must exactly equal a host sketch_ref +
+    searchsorted join."""
+    import numpy as np
+
+    from varigraph_tpu.ops.sketch_ref import SEQ_NT4_TABLE, sketch_ref
+
+    seqs = read_first_seqs(fq, ORACLE_READS)
+    b, l = batch_shape
+    stack = np.full((fuse, b, l), 4, dtype=np.uint8)
+    vals = []
+    for r, s in enumerate(seqs):
+        s = s[:l]
+        stack[0, r, : len(s)] = SEQ_NT4_TABLE[np.frombuffer(s, np.uint8)]
+        vals.extend(sketch_ref(s, K))
+    vals = np.asarray(vals, dtype=np.uint64)
+    m = len(keys_np)
+    idx = np.searchsorted(keys_np, vals)
+    found = (idx < m) & (keys_np[np.minimum(idx, m - 1)] == vals)
+    want = np.bincount(idx[found], minlength=m).astype(np.uint32)
+    import jax.numpy as jnp
+
+    # fresh zeros: ``step`` donates its first argument
+    got = np.asarray(
+        step(jnp.zeros_like(cov_template), keys_dev, jnp.asarray(stack), K)
+    )
+    if not (got == want).all():
+        bad = int((got != want).sum())
+        raise AssertionError(
+            f"oracle check FAILED: device counts differ from the host spec "
+            f"oracle at {bad}/{m} keys (oracle hits {int(want.sum())}, "
+            f"device {int(got.sum())})"
+        )
+    log(f"oracle check OK: {int(want.sum())} hits from {len(seqs)} reads "
+        f"match the host spec oracle per-key")
+    return int(want.sum())
+
+
 def bench_ours(paths):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from varigraph_tpu.genotype.counting import _count_batch, count_reads
+    from varigraph_tpu.genotype.counting import _FUSE, _count_fused, count_reads
     from varigraph_tpu.index.serialize import load_graph
     from varigraph_tpu.io.fastq import stream_read_batches
 
@@ -130,51 +214,98 @@ def bench_ours(paths):
         batches.extend(
             codes for codes, _ in stream_read_batches(fq, batch_size, max_len, K)
         )
-    batches = batches * REPEATS
-    total_kmers = count_total_kmers(paths["fqs"]) * REPEATS
-    log(f"{len(batches)} batches, {total_kmers/1e6:.1f}M read k-mers")
+    kmers_one_pass = count_total_kmers(paths["fqs"])
+    total_kmers = kmers_one_pass * REPEATS
+    log(f"{len(batches)} batches/pass, {total_kmers/1e6:.1f}M read k-mers/trial")
+
+    # stack into fused groups of the production dispatch shape [F, B, L]
+    stacks = []
+    pad = np.full_like(batches[0], 4)
+    for i in range(0, len(batches), _FUSE):
+        grp = batches[i : i + _FUSE]
+        while len(grp) < _FUSE:
+            grp.append(pad)
+        stacks.append(np.stack(grp))
 
     keys = gi.table.keys
-    # pre-stage batches on device: the counting kernel's throughput is the
-    # per-chip metric; H2D overlap is the host pipeline's job (measured by
-    # the end-to-end number below).  Through the axon tunnel a per-batch
-    # host->device copy costs ~65 ms of pure link latency, which no real
-    # TPU host pays.
-    dev_batches = [jax.device_put(jnp.asarray(b)) for b in batches]
-    # warmup/compile
-    warm = _count_batch(jnp.zeros_like(gi.table.cov), keys, dev_batches[0], K)
-    warm.block_until_ready()
 
-    # The tunnel injects erratic multi-second dispatch stalls (BENCH_r01
-    # recorded 10.5 s for a loop that runs in ~0.4 s of chip time); repeat
-    # the measurement and keep the best repeat.
-    thr_dev = 0.0
+    # ---- correctness anchor vs the pure-Python spec oracle ----------------
+    oracle_check(gi.table.keys_np(), (batch_size, max_len), _FUSE,
+                 _count_fused, gi.table.cov, keys, paths["fqs"][0])
+
+    # pre-stage one pass worth of stacks on device; trials loop REPEATS times
+    dev_stacks = [jax.device_put(jnp.asarray(s)) for s in stacks]
+
+    # ---- expected-hits pass (also warmup/compile) -------------------------
+    cov_once = jnp.zeros_like(gi.table.cov)
+    for s in dev_stacks:
+        cov_once = _count_fused(cov_once, keys, s, K)
+    cov_once.block_until_ready()
+    hits_once = int(cov_once.sum())
+    assert 0 < hits_once <= kmers_one_pass, (hits_once, kmers_one_pass)
+    log(f"expected hits/pass: {hits_once} "
+        f"({100.0*hits_once/kmers_one_pass:.1f}% of read k-mers)")
+
+    # ---- device-loop trials (fresh salted inputs, verified, median) -------
+    n_acc = 3
+    dev_thrs = []
     for trial in range(DEVICE_TRIALS):
-        # round-robin accumulators let batch n+1 dispatch while n executes
-        accs = [jnp.zeros_like(gi.table.cov) for _ in range(3)]
+        salts = [trial * n_acc + i + 1 for i in range(n_acc)]
+        accs = [
+            jnp.zeros_like(gi.table.cov).at[i].add(np.uint32(salts[i]))
+            for i in range(n_acc)
+        ]
+        i = 0
         t0 = time.perf_counter()
-        for i, codes in enumerate(dev_batches):
-            accs[i % 3] = _count_batch(accs[i % 3], keys, codes, K)
+        for _ in range(REPEATS):
+            for s in dev_stacks:
+                accs[i % n_acc] = _count_fused(accs[i % n_acc], keys, s, K)
+                i += 1
         total = accs[0] + accs[1] + accs[2]
         total.block_until_ready()
         dt = time.perf_counter() - t0
+        got = int(total.sum())
+        want = hits_once * REPEATS + sum(salts)
+        if got != want:
+            raise AssertionError(
+                f"device trial {trial}: cov sum {got} != expected {want} -- "
+                f"the timed loop did not do the expected work"
+            )
         thr = total_kmers / dt
-        log(f"device counting trial {trial}: {dt:.3f}s -> {thr/1e6:.1f}M kmers/s")
-        thr_dev = max(thr_dev, thr)
-    del dev_batches
+        ok = thr <= PHYS_MAX_KMERS_PER_SEC
+        log(f"device trial {trial}: {dt:.3f}s -> {thr/1e6:.1f}M kmers/s "
+            f"[sum OK]{'' if ok else ' REJECTED: exceeds physical bound'}")
+        if ok:
+            dev_thrs.append(thr)
+    del dev_stacks
+    thr_dev = statistics.median(dev_thrs) if dev_thrs else 0.0
 
-    # end-to-end including streaming+packing (production count_reads path:
-    # per-file native-reader threads decompress in parallel, pipelined
-    # accumulators on device)
-    gi.table.reset_cov()
+    # ---- end-to-end trials (independent path: gz stream + H2D + device) ---
     files = paths["fqs"] * REPEATS
-    t0 = time.perf_counter()
-    count_reads(gi.table, files, K, batch_size, max_len)
-    gi.table.cov.block_until_ready()
-    dt2 = time.perf_counter() - t0
-    thr2 = total_kmers / dt2
-    log(f"end-to-end (incl. gz streaming): {dt2:.3f}s -> {thr2/1e6:.1f}M kmers/s")
-    return max(thr_dev, thr2)
+    e2e_thrs = []
+    for trial in range(E2E_TRIALS):
+        gi.table.reset_cov()
+        # salt so no two trials run an identical chain
+        gi.table.cov = gi.table.cov.at[trial].add(np.uint32(trial + 1))
+        t0 = time.perf_counter()
+        count_reads(gi.table, files, K, batch_size, max_len)
+        gi.table.cov.block_until_ready()
+        dt = time.perf_counter() - t0
+        got = int(gi.table.cov.sum())
+        want = hits_once * REPEATS + trial + 1
+        if got != want:
+            raise AssertionError(
+                f"e2e trial {trial}: cov sum {got} != expected {want} -- "
+                f"the end-to-end path did not do the expected work"
+            )
+        thr = total_kmers / dt
+        ok = thr <= PHYS_MAX_KMERS_PER_SEC
+        log(f"end-to-end trial {trial}: {dt:.3f}s -> {thr/1e6:.1f}M kmers/s "
+            f"[sum OK]{'' if ok else ' REJECTED: exceeds physical bound'}")
+        if ok:
+            e2e_thrs.append(thr)
+    thr_e2e = statistics.median(e2e_thrs) if e2e_thrs else 0.0
+    return thr_e2e, thr_dev
 
 
 def bench_reference(paths):
@@ -246,14 +377,17 @@ def bench_reference(paths):
 
 def main():
     paths = ensure_dataset()
-    ours = bench_ours(paths)
+    thr_e2e, thr_dev = bench_ours(paths)
     ref = bench_reference(paths)
-    vs = (ours / ref) if ref else 0.0
     print(json.dumps({
         "metric": "read_kmers_per_sec_per_chip",
-        "value": round(ours, 1),
+        "value": round(thr_e2e, 1),
         "unit": "kmers/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(thr_e2e / ref, 3) if ref else 0.0,
+        "device_loop_value": round(thr_dev, 1),
+        "device_vs_baseline": round(thr_dev / ref, 3) if ref else 0.0,
+        "verified": True,
+        "trials": "median of sum-verified trials; >4x kernel-ceiling rejected",
     }))
 
 

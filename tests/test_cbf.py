@@ -229,6 +229,9 @@ def test_passwise_genome_cbf_matches_hostcbf(monkeypatch):
     ])
 
     monkeypatch.setattr(PasswiseGenomeCBF, "RANGE_WIDTH", 4096)  # many passes
+    # also exercise the bounded-memory query chunking: 300 queries with a
+    # 64-query block forces 5 blocks, incl. a padded tail
+    monkeypatch.setattr(PasswiseGenomeCBF, "QUERY_BLOCK", 64)
     pw = PasswiseGenomeCBF({"chr1": seq}, n=n, k=k, p=0.01, seed=5)
     assert pw.size == ref.size and (pw.seeds == ref.seeds).all()
     got = pw.count(queries)

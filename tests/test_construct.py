@@ -112,7 +112,7 @@ def test_save_load_roundtrip(tmp_path, graph_index):
         for a, b in zip(a_nodes, b_nodes):
             assert a.start == b.start
             assert a.seqs == b.seqs
-            assert a.hap_gt == b.hap_gt
+            assert list(a.hap_gt) == list(b.hap_gt)
             assert a.kmer_hashes == b.kmer_hashes
             assert np.asarray(a.local_bits).size == np.asarray(b.local_bits).size
             if np.asarray(a.local_bits).size:

@@ -46,9 +46,9 @@ def test_build_graph_basic():
     # head filler [1..4], SNP at 5, filler [6..9], INS at 10, tail [11..25]
     assert starts == [1, 5, 6, 10, 11]
     assert nodes[0].seqs == ["ACGT"] and not nodes[0].is_variant
-    assert nodes[1].seqs == ["A", "T"] and nodes[1].hap_gt == [0, 0, 1]
+    assert nodes[1].seqs == ["A", "T"] and list(nodes[1].hap_gt) == [0, 0, 1]
     assert nodes[2].seqs == ["CGTA"]
-    assert nodes[3].seqs == ["C", "CAAA"] and nodes[3].hap_gt == [0, 1, 1]
+    assert nodes[3].seqs == ["C", "CAAA"] and list(nodes[3].hap_gt) == [0, 1, 1]
     assert nodes[4].seqs == [fasta["chr1"][10:]]
     assert extra == 1 + 4
     # vcf mirror keeps normalized GT strings
@@ -90,7 +90,7 @@ def test_missing_gt_and_ploidy_padding():
     vcf = _mini_vcf(["chr1\t5\t.\tA\tT\t30\t.\t.\tGT\t."])
     graph, _, _, _, _, _ = build_graph_from_vcf(vcf, fasta, 2)
     node = [n for n in graph.nodes["chr1"] if n.is_variant][0]
-    assert node.hap_gt == [0, 0, 0]
+    assert list(node.hap_gt) == [0, 0, 0]
 
 
 def _walker_graph(records, fasta):

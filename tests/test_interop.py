@@ -97,6 +97,55 @@ def test_genotype_from_reference_graph_matches_reference_output(shared_data):
     )
 
 
+def test_reference_binary_genotypes_from_our_graph_bin(shared_data):
+    """Round-trip the OTHER way: our construct -> save_reference_graph_bin ->
+    the reference binary loads it and genotypes; its calls must agree with
+    its own-graph run (reference src/construct_index.cpp:760-902 writer
+    parity)."""
+    from varigraph_tpu.index.interop import (
+        load_reference_graph_bin,
+        save_reference_graph_bin,
+    )
+
+    paths, out, _, ref_vcf = shared_data
+    cfg = VarigraphConfig(ref_file=paths["ref"], vcf_file=paths["vcf"],
+                          kmer_len=27, seed=0)
+    gi = construct_graph_index(cfg)
+    ours_bin = os.path.join(out, "ours_graph.bin")
+    save_reference_graph_bin(gi, ours_bin)
+
+    # 1. our own reader round-trips the file byte-semantically
+    gi2 = load_reference_graph_bin(ours_bin)
+    assert gi2.kmer_len == gi.kmer_len and gi2.vcf_ploidy == gi.vcf_ploidy
+    assert gi2.hap_names == gi.hap_names
+    assert gi2.table.size == gi.table.size
+    assert (gi2.table.keys_np() == gi.table.keys_np()).all()
+    assert (gi2.table.freq_np() == gi.table.freq_np()).all()
+    assert (gi2.table.refflag_np() == gi.table.refflag_np()).all()
+    assert (gi2.table.hap_words_np() == gi.table.hap_words_np()).all()
+
+    # 2. the reference binary genotypes from our index
+    cfg_path = os.path.join(out, "ours_samples.cfg")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"S1 {paths['fq']}\n")
+    rundir = os.path.join(out, "refrun")
+    os.makedirs(rundir, exist_ok=True)
+    r = subprocess.run(
+        [REF_BIN, "genotype", "--load-graph", ours_bin, "-s", cfg_path,
+         "-t", "2"],
+        capture_output=True, text=True, timeout=600, cwd=rundir,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    got = _gt_map(os.path.join(rundir, "S1.varigraph.vcf.gz"))
+    ref = _gt_map(ref_vcf)
+    shared = set(got) & set(ref)
+    assert len(shared) >= max(len(ref) - 2, 1)
+    mismatch = [s for s in shared if got[s] != ref[s]]
+    assert len(mismatch) <= max(1, len(shared) // 10), (
+        f"GT mismatches (reference binary on OUR graph.bin): {mismatch}"
+    )
+
+
 def test_our_construct_matches_reference_output(shared_data):
     """Full independence check: OUR construct + genotype vs the reference
     binary's output on the same inputs."""

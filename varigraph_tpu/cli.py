@@ -80,8 +80,18 @@ def _add_genotype(sub):
     p.add_argument("--load-counts", default="", metavar="FILE",
                    help="load a counted-reads state and skip counting "
                         "(single-sample runs)")
-    p.add_argument("-t", "--threads", type=int, default=10, metavar="INT")
+    p.add_argument("-t", "--threads", type=int, default=10, metavar="INT",
+                   help="host threads (parallel FASTQ decompression) [10]")
     p.add_argument("-D", "--debug", action="store_true")
+    # device batching (the reference's --buffer MB knob, main.cu:264,505,
+    # reshaped for fixed-shape device batches)
+    p.add_argument("--batch-size", type=int, default=0, metavar="INT",
+                   help="reads per device batch (0 = auto) [16384]")
+    p.add_argument("--max-read-len", type=int, default=0, metavar="INT",
+                   help="padded read length per device batch; longer reads "
+                        "split with k-1 overlap (0 = auto) [160]")
+    p.add_argument("--mesh-devices", type=int, default=0, metavar="INT",
+                   help="devices in the counting mesh (0 = all local)")
     # multi-host (jax.distributed; new TPU-first surface, SURVEY.md section 5.8)
     p.add_argument("--coordinator", default="", metavar="HOST:PORT",
                    help="multi-host coordinator address (default: autodetect)")
@@ -157,6 +167,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.engine:
             cfg.engine = args.engine
         cfg.threads = max(args.threads, 1)
+        if args.batch_size > 0:
+            cfg.read_batch_size = args.batch_size
+        if args.max_read_len > 0:
+            cfg.max_read_len = args.max_read_len
+        cfg.mesh_devices = max(args.mesh_devices, 0)
         cfg.debug = args.debug
         cfg.coordinator = args.coordinator
         cfg.num_processes = args.num_processes

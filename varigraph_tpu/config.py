@@ -119,4 +119,6 @@ class VarigraphConfig:
         log(f"Use sequencing depth for homozygous k-mers: "
             f"{'Enabled' if self.use_depth else 'Disabled'}")
         log(f"Genotyping engine: {self.engine}")
+        log(f"Device read batch: {self.read_batch_size} reads x "
+            f"{self.max_read_len} bp")
         log(f"Deterministic seed: {self.seed}")

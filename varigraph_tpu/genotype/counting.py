@@ -3,15 +3,21 @@
 Replaces the reference's thread-pooled per-read hash-map probing
 (src/fastq_kmer.cpp:65-187, kmer_sketch_fastq at src/kmer.cpp:110-149) with:
   FASTQ stream -> packed [B, L] base-code batches -> device sketch scan ->
-  vectorized binary search into the sorted table -> scatter-add coverage.
+  banded merge join against the sorted table -> compacted coverage add.
 
-The whole per-batch pipeline is one fused jitted function; the table's
-coverage array stays on device (donated across batches).
+Host->device feed design (the end-to-end bottleneck): per-batch uploads pay
+a fixed dispatch/link latency (~44 ms through the axon tunnel, CLAUDE.md),
+so batches are FUSED -- ``_FUSE`` host batches stack into one [F, B, L]
+upload, and one jitted ``lax.scan`` dispatch joins all F sub-batches.
+Uploads run on a small thread pool (depth ``_UPLOAD_DEPTH``) so H2D copies
+overlap both the gz/packing feed and device compute.
 """
 
 from __future__ import annotations
 
+import collections
 import functools
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -30,8 +36,8 @@ def _on_tpu() -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
-def _count_batch(cov: jnp.ndarray, keys: jnp.ndarray, codes: jnp.ndarray, k: int):
+def _count_batch_inner(cov: jnp.ndarray, keys: jnp.ndarray,
+                       codes: jnp.ndarray, k: int):
     values, emit = sketch_codes(codes, k)
     q, em = values.reshape(-1), emit.reshape(-1)
     if _on_tpu():
@@ -45,8 +51,45 @@ def _count_batch(cov: jnp.ndarray, keys: jnp.ndarray, codes: jnp.ndarray, k: int
     return count_merge(cov, keys, q, em)
 
 
-_N_ACCUMULATORS = 3  # round-robin coverage buffers so batch n+1's sort can
-                     # start while batch n's scatter is still in flight
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def _count_batch(cov: jnp.ndarray, keys: jnp.ndarray, codes: jnp.ndarray, k: int):
+    return _count_batch_inner(cov, keys, codes, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def _count_fused(cov: jnp.ndarray, keys: jnp.ndarray, codes_f: jnp.ndarray,
+                 k: int):
+    """Join F stacked batches ([F, B, L]) in one dispatch via lax.scan."""
+
+    def body(c, codes):
+        return _count_batch_inner(c, keys, codes, k), None
+
+    cov, _ = jax.lax.scan(body, cov, codes_f)
+    return cov
+
+
+_N_ACCUMULATORS = 3  # round-robin coverage buffers so group n+1's join can
+                     # start while group n's is still in flight
+_FUSE = 4            # host batches stacked per H2D upload / device dispatch
+_UPLOAD_DEPTH = 3    # uploads in flight ahead of the consumer
+
+
+def _fused_groups(batch_iter, fuse: int):
+    """Stack ``fuse`` host batches into [F, B, L]; the tail group is padded
+    with all-4 (no-emission) rows so every dispatch has one static shape."""
+    group, gb = [], 0
+    for codes, bases in batch_iter:
+        group.append(codes)
+        gb += bases
+        if len(group) == fuse:
+            yield np.stack(group), gb, fuse
+            group, gb = [], 0
+    if group:
+        n_real = len(group)
+        pad = np.full_like(group[0], 4)
+        while len(group) < fuse:
+            group.append(pad)
+        yield np.stack(group), gb, n_real
 
 
 def count_reads(
@@ -56,11 +99,14 @@ def count_reads(
     batch_size: int,
     max_len: int,
     n_devices: int = 0,
+    io_threads: int = 4,
 ) -> int:
     """Stream all files, count k-mers into table.cov.  Returns total bases.
 
-    n_devices: device-mesh width (config.mesh_devices); 0 = all local."""
+    n_devices: device-mesh width (config.mesh_devices); 0 = all local.
+    io_threads: FASTQ files decompressed/packed concurrently (CLI -t)."""
     read_base = 0
+    ngroups = 0
     nbatches = 0
 
     # multi-device: shard each batch across the mesh, psum the count deltas
@@ -69,32 +115,66 @@ def count_reads(
     if n_devices:
         n_dev = min(n_devices, n_dev)
     mesh_step = None
+    sharding = None
     if n_dev > 1 and batch_size % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         from ..parallel.mesh import make_count_batch_replicated, make_mesh
 
-        mesh_step = make_count_batch_replicated(make_mesh(n_dev), k)
+        mesh = make_mesh(n_dev)
+        mesh_step = make_count_batch_replicated(mesh, k)
+        # fused groups upload sharded over the batch axis; slicing group[j]
+        # yields a [B, L] array already laid out P("data", None)
+        sharding = NamedSharding(mesh, P(None, "data", None))
         log(f"counting data-parallel over {n_dev} devices", func="count_reads")
+
+    for path in fastq_files:
+        log(f"Collecting kmers from read on device: {path}", func="count_reads")
 
     accs = [table.cov] + [
         jnp.zeros_like(table.cov) for _ in range(_N_ACCUMULATORS - 1)
     ]
-    for path in fastq_files:
-        log(f"Collecting kmers from read on device: {path}", func="count_reads")
-    for codes, bases in stream_read_batches_multi(
-        fastq_files, batch_size, max_len, k
-    ):
-        slot = nbatches % _N_ACCUMULATORS
+
+    def upload(arr):
+        return jax.device_put(arr, sharding) if sharding is not None \
+            else jax.device_put(arr)
+
+    pool = ThreadPoolExecutor(max_workers=_UPLOAD_DEPTH)
+    inflight: collections.deque = collections.deque()
+
+    def drain_one():
+        nonlocal read_base, ngroups, nbatches
+        fut, gb, n_real = inflight.popleft()
+        dev = fut.result()
+        slot = ngroups % _N_ACCUMULATORS
         if mesh_step is not None:
-            accs[slot] = mesh_step(accs[slot], table.keys, jnp.asarray(codes))
+            for j in range(n_real):
+                accs[slot] = mesh_step(accs[slot], table.keys, dev[j])
         else:
-            accs[slot] = _count_batch(accs[slot], table.keys,
-                                      jnp.asarray(codes), k)
-        read_base += bases
-        nbatches += 1
+            accs[slot] = _count_fused(accs[slot], table.keys, dev, k)
+        read_base += gb
+        ngroups += 1
+        nbatches += n_real
+
+    try:
+        for stacked, gb, n_real in _fused_groups(
+            stream_read_batches_multi(fastq_files, batch_size, max_len, k,
+                                      max_parallel=max(io_threads, 1)),
+            _FUSE,
+        ):
+            inflight.append((pool.submit(upload, stacked), gb, n_real))
+            if len(inflight) >= _UPLOAD_DEPTH:
+                drain_one()
+        while inflight:
+            drain_one()
+    finally:
+        pool.shutdown(wait=False)
+
     cov = accs[0]
     for extra in accs[1:]:
         cov = cov + extra
     cov.block_until_ready()
     table.cov = cov
-    log(f"Processed {nbatches} batches, {read_base / 1e9:.2f} Gb", func="count_reads")
+    log(f"Processed {nbatches} batches, {read_base / 1e9:.2f} Gb",
+        func="count_reads")
     return read_base

@@ -262,10 +262,12 @@ class _WindowPrep:
         self.cfg = cfg
         nhap = gi.nhap
 
+        gt_len = gi.graph.gt_len[chrom]
+        variant_idx = np.arange(lo, hi, dtype=np.int64)[gt_len[lo:hi] > 1]
         idx_list = [
             nodes[i].table_idx
-            for i in range(lo, hi)
-            if nodes[i].is_variant and nodes[i].table_idx is not None
+            for i in variant_idx
+            if nodes[i].table_idx is not None
         ]
         counts = window_hap_counts(idx_list, cov_u8, freq_np, hap_words, nhap)
         haploid_num = min(cfg.haploid_num, nhap)
@@ -288,22 +290,23 @@ class _WindowPrep:
             axis=2, dtype=np.int32
         )
 
-        # scorable nodes (genotype.cpp:257-277)
-        vcf_info_chrom = gi.vcf_info.get(chrom, {})
-        self.node_refs = []
-        for i in range(lo, hi):
-            node = nodes[i]
-            if len(node.hap_gt) <= 1:
-                continue
-            if cfg.sv_genotype_only:
-                info = vcf_info_chrom.get(node.start)
+        # scorable nodes (genotype.cpp:257-277), via the dense per-chrom
+        # metadata (gt_len) instead of per-node Python attribute walks
+        cand = variant_idx
+        if cfg.sv_genotype_only:
+            vcf_info_chrom = gi.vcf_info.get(chrom, {})
+            keep = []
+            for i in cand:
+                info = vcf_info_chrom.get(int(nodes[i].start))
                 if info is None:
                     raise ValueError(
-                        f"'{chrom}:{node.start}' does not exist in the VCF file."
+                        f"'{chrom}:{nodes[i].start}' does not exist in the VCF file."
                     )
-                if len(info[3]) < 50 and len(info[4]) < 50:
-                    continue
-            self.node_refs.append(node)
+                if len(info[3]) >= 50 or len(info[4]) >= 50:
+                    keep.append(i)
+            cand = np.asarray(keep, np.int64)
+        self.node_idx = cand
+        self.node_refs = [nodes[i] for i in cand]
 
         lower, upper = poisson_interval(float(hap_cov))
         self.lower, self.upper = lower, upper
@@ -317,13 +320,16 @@ class _WindowPrep:
         self.kmask = np.zeros((n, K), bool)
         self.bits_u = np.zeros((n, K, U), np.uint8)
         self.local_u = np.zeros((n, K, U), np.uint8)
-        self.gt0_u = np.zeros((n, U), bool)
         self.kind = np.ones(n, np.int32)
 
-        starts = np.array([nd.start for nd in self.node_refs], np.int64)
-        ends = np.array(
-            [nd.start + len(nd.seqs[0]) - 1 for nd in self.node_refs], np.int64
-        )
+        starts = gi.graph.starts_np[chrom][cand]
+        ends = gi.graph.ends_np[chrom][cand]
+
+        # per-node GT values of the used haplotypes [n, U] (one dense gather
+        # instead of an O(n*U) Python loop); gt0_u feeds the emission
+        # kernel's ref-flag CI rule, G_nu feeds posterior grouping
+        self.G_nu = gi.graph.gt_submatrix(chrom, cand, self.used_haps)
+        self.gt0_u = self.G_nu == 0
 
         # flat gather across all nodes of the window (no per-node numpy calls)
         lens = np.array(
@@ -364,26 +370,17 @@ class _WindowPrep:
             self.local_u[act_node, pos] = unpacked[:, self.used_haps]
         else:
             self.kind[:] = 2
-        for uj, hp in enumerate(self.used_haps):
-            gt0_col = np.array(
-                [nd.hap_gt[hp] == 0 if hp < len(nd.hap_gt) else True
-                 for nd in self.node_refs],
-                bool,
-            )
-            self.gt0_u[:, uj] = gt0_col
 
         # distances between chain nodes (resets update anchors but do not
-        # score -- genotype.cpp:371-374)
+        # score -- genotype.cpp:371-374); vectorized shift instead of a
+        # per-node loop
         dist_f = np.zeros(n, np.int64)
-        pre_end = 0
-        for ni in range(n):
-            dist_f[ni] = (starts[ni] - pre_end) & 0xFFFFFFFF
-            pre_end = ends[ni]
         dist_b = np.zeros(n, np.int64)
-        pre_start = 0
-        for ni in range(n - 1, -1, -1):
-            dist_b[ni] = (pre_start - ends[ni]) & 0xFFFFFFFF
-            pre_start = starts[ni]
+        if n:
+            dist_f[0] = starts[0] & 0xFFFFFFFF
+            dist_f[1:] = (starts[1:] - ends[:-1]) & 0xFFFFFFFF
+            dist_b[n - 1] = (-ends[n - 1]) & 0xFFFFFFFF
+            dist_b[:-1] = (starts[1:] - ends[:-1]) & 0xFFFFFFFF
         self.log_rec_f, self.log_norec_f = _transition_logs(dist_f, nhap)
         self.log_rec_b, self.log_norec_b = _transition_logs(dist_b, nhap)
 
@@ -651,15 +648,9 @@ def _posterior_window_group(group, alpha, beta, results):
         safe_den = np.where(den != 0, den, 1.0)
         post = np.where((den != 0)[:, None], ab / safe_den[:, None], 0.0)
 
-        # per-node GT values of the used haplotypes [n, U]
-        U = len(prep.used_haps)
-        G_nu = np.zeros((n, U), np.int64)
-        for ni, node in enumerate(prep.node_refs):
-            hg = node.hap_gt
-            lh = len(hg)
-            for uj, hp in enumerate(prep.used_haps):
-                G_nu[ni, uj] = hg[hp] if hp < lh else 0
-        G_nsp = G_nu[:, prep.state_u]               # [n, S, P]
+        # per-node GT values of the used haplotypes [n, U], gathered once
+        # from the per-chrom GT matrix during prep
+        G_nsp = prep.G_nu[:, prep.state_u]          # [n, S, P]
         fallback = (G_nsp.max(axis=(1, 2)) > 9) & real
 
         P = prep.state_u.shape[1]

@@ -104,6 +104,7 @@ def genotype_one_sample(
         read_base = count_reads(
             gi.table, files, gi.kmer_len, cfg.read_batch_size,
             cfg.max_read_len, n_devices=cfg.mesh_devices,
+            io_threads=cfg.threads,
         )
         if multi_host:
             from ..parallel.dist import merge_counts_across_hosts
@@ -111,7 +112,9 @@ def genotype_one_sample(
             gi.table.cov, read_base = merge_counts_across_hosts(
                 gi.table.cov, read_base
             )
-        if counts_out:
+        if counts_out and (not multi_host or jax.process_index() == 0):
+            # process 0 only: every host holds the identical merged state,
+            # and N concurrent writers to one path is a write race
             save_counts(gi, counts_out, read_base)
     log(f"phase timing: counting {_time.perf_counter()-_t0:.2f}s",
         func="genotype_one_sample")

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ..utils.log import log
 
 
@@ -25,11 +27,13 @@ class Node:
 
     seqs[0] is the REF allele (or the filler sequence); hap_gt[h] is the
     allele index haplotype h carries (0 = REF).  Filler nodes have
-    hap_gt == [0].
+    hap_gt == [0].  After GenomeGraph.finalize(), hap_gt is a numpy uint16
+    row view into the per-chromosome GT matrix (same indexing/len semantics;
+    ~15x less host RAM than Python int lists at genome scale).
     """
     start: int  # 1-based
     seqs: list[str] = field(default_factory=list)
-    hap_gt: list[int] = field(default_factory=list)
+    hap_gt: object = field(default_factory=list)
     # filled by the indexing phase:
     kmer_hashes: list[int] = field(default_factory=list)  # encoded k-mers
     # per-kmer haplotype-presence bitmask, packed uint8 [n_kmers, ceil(H/8)]
@@ -45,12 +49,23 @@ class Node:
 
 
 class GenomeGraph:
-    """Per-chromosome ordered node collections."""
+    """Per-chromosome ordered node collections.
+
+    finalize() additionally builds per-chromosome numpy views of the node
+    metadata the genotype engine gathers per window (starts, ends, GT
+    matrix): the per-node Python loops over these were ~30% of scoring time
+    at the 100 Mb scale and linear in node count (VERDICT r2 item 4).
+    """
 
     def __init__(self):
         self._maps: dict[str, dict[int, Node]] = {}
         self.starts: dict[str, list[int]] = {}
         self.nodes: dict[str, list[Node]] = {}
+        # per-chromosome dense metadata (built by finalize)
+        self.starts_np: dict[str, np.ndarray] = {}
+        self.ends_np: dict[str, np.ndarray] = {}
+        self.gt_mat: dict[str, np.ndarray] = {}   # [n, width] u16, 0-padded
+        self.gt_len: dict[str, np.ndarray] = {}   # [n] int32
 
     def get_or_create(self, chrom: str, start: int) -> Node:
         chrom_map = self._maps.setdefault(chrom, {})
@@ -61,13 +76,46 @@ class GenomeGraph:
         return node
 
     def finalize(self) -> None:
-        """Sort nodes by start per chromosome (std::map iteration order)."""
+        """Sort nodes by start per chromosome (std::map iteration order) and
+        densify node metadata.  Each node's hap_gt becomes a row view into
+        gt_mat (zero-padded: a missing haplotype's GT reads as 0 = REF,
+        matching the engines' out-of-range default)."""
         self.starts = {}
         self.nodes = {}
         for chrom, cmap in self._maps.items():
             items = sorted(cmap.items())
             self.starts[chrom] = [s for s, _ in items]
             self.nodes[chrom] = [n for _, n in items]
+            nodes = self.nodes[chrom]
+            n = len(nodes)
+            lens = np.fromiter((len(nd.hap_gt) for nd in nodes), np.int32, n)
+            width = int(lens.max()) if n else 0
+            mat = np.zeros((n, width), np.uint16)
+            for i, nd in enumerate(nodes):
+                li = lens[i]
+                if li:
+                    mat[i, :li] = nd.hap_gt
+                nd.hap_gt = mat[i, :li]
+            self.gt_mat[chrom] = mat
+            self.gt_len[chrom] = lens
+            self.starts_np[chrom] = np.fromiter(
+                (nd.start for nd in nodes), np.int64, n
+            )
+            self.ends_np[chrom] = self.starts_np[chrom] + np.fromiter(
+                (len(nd.seqs[0]) for nd in nodes), np.int64, n
+            ) - 1
+
+    def gt_submatrix(self, chrom: str, node_idx: np.ndarray,
+                     haps) -> np.ndarray:
+        """[len(node_idx), len(haps)] int64 GT gather with 0 (REF) for
+        haplotypes beyond a node's GT vector."""
+        mat = self.gt_mat[chrom]
+        uh = np.asarray(haps, np.int64)
+        out = np.zeros((len(node_idx), len(uh)), np.int64)
+        valid = uh < mat.shape[1]
+        if valid.any() and len(node_idx):
+            out[:, valid] = mat[np.ix_(node_idx, uh[valid])]
+        return out
 
     @property
     def chroms(self) -> list[str]:

@@ -1,15 +1,17 @@
-"""Interop: read the reference binary's graph.bin format.
+"""Interop: read AND write the reference binary's graph.bin format.
 
-Parses the little-endian layout written by the reference's
-ConstructIndex::save_index (src/construct_index.cpp:760-902): header
-(graphBaseNum u64, kmerLen u32, vcfPloidy u32), VCF head + per-site column
-mirror with chromosome lengths, haplotype registry, graph nodes (allele
-sequences, per-haplotype GTs, k-mer hashes), then (kmerHash u64, c u8, f u8,
-bitVecLen u64, bits...) records to EOF.
+Parses/produces the little-endian layout of the reference's
+ConstructIndex::save_index (src/construct_index.cpp:760-902) / load_index
+(:911-1105): header (graphBaseNum u64, kmerLen u32, vcfPloidy u32), VCF head
++ per-site column mirror with chromosome lengths, haplotype registry, graph
+nodes (allele sequences, per-haplotype GTs, k-mer hashes), a u64 ReadBase
+placeholder, then (kmerHash u64, c u8, f u8, bitVecLen u64, bits...) records
+to EOF.
 
-This lets a reference-built index be genotyped with this framework (and vice
-versa for cross-validation).  The reference format carries no per-node local
-haplotype bitmasks, so they are reconstructed by re-sketching each node's
+This lets a reference-built index be genotyped with this framework AND an
+index built here be genotyped by the reference binary (two-way
+cross-validation).  The reference format carries no per-node local haplotype
+bitmasks, so on load they are reconstructed by re-sketching each node's
 haplotype contexts -- exactly the computation the reference defers to
 genotype time (src/genotype.cpp:725-812).
 """
@@ -176,6 +178,118 @@ def load_reference_graph_bin(path: str) -> GraphIndex:
     log(f"Total number of k-mers present in the Genome Graph: {table.size}")
     log(f"Total number of haplotypes present in the Genome Graph: {hap_num}")
     return gi
+
+
+def save_reference_graph_bin(gi: GraphIndex, path: str) -> None:
+    """Write ``gi`` in the reference binary's graph.bin layout
+    (ConstructIndex::save_index, src/construct_index.cpp:760-902), so the
+    reference binary can genotype from an index built by this framework.
+
+    Iteration orders mirror the C++ std::map semantics: chromosomes
+    lexicographic, node starts / VCF starts / haplotype indices ascending.
+    The k-mer records' order is free (the reference loads them into an
+    unordered_map, :1060-1101); they are written in sorted-key order.
+    BitVec length is (hapNum >> 3) + 1 with bit 7 of the last byte carrying
+    the genome-wide ref flag (src/construct_index.cpp:1206-1215)."""
+    log(f"Reference-format Genome Graph index saved to file: {path}")
+    import io
+
+    w = io.BytesIO()
+    w.write(struct.pack("<QII", gi.graph_base_num, gi.kmer_len, gi.vcf_ploidy))
+
+    # ---- VCF head + vcfInfoMap (with chromosome lengths) ----
+    head = gi.vcf_head.encode("utf-8")
+    w.write(struct.pack("<I", len(head)))
+    w.write(head)
+    w.write(struct.pack("<I", len(gi.vcf_info)))
+    for chrom in sorted(gi.vcf_info.keys()):
+        cb = chrom.encode("utf-8")
+        w.write(struct.pack("<I", len(cb)))
+        w.write(cb)
+        w.write(struct.pack("<I", gi.chrom_lens[chrom]))
+        smap = gi.vcf_info[chrom]
+        w.write(struct.pack("<I", len(smap)))
+        for start in sorted(smap.keys()):
+            infos = smap[start]
+            w.write(struct.pack("<II", start, len(infos)))
+            for info in infos:
+                ib = info.encode("utf-8")
+                w.write(struct.pack("<I", len(ib)))
+                w.write(ib)
+
+    # ---- haplotype registry ----
+    w.write(struct.pack("<H", gi.nhap))
+    for idx, name in enumerate(gi.hap_names):
+        nb = name.encode("utf-8")
+        w.write(struct.pack("<HI", idx, len(nb)))
+        w.write(nb)
+
+    # ---- graph nodes ----
+    w.write(struct.pack("<I", len(gi.graph.nodes)))
+    for chrom in sorted(gi.graph.nodes.keys()):
+        cb = chrom.encode("utf-8")
+        w.write(struct.pack("<I", len(cb)))
+        w.write(cb)
+        nodes = gi.graph.nodes[chrom]
+        w.write(struct.pack("<I", len(nodes)))
+        for node in nodes:
+            w.write(struct.pack("<II", node.start, len(node.seqs)))
+            for seq in node.seqs:
+                sb = seq.encode("utf-8")
+                w.write(struct.pack("<I", len(sb)))
+                w.write(sb)
+            w.write(struct.pack("<I", len(node.hap_gt)))
+            w.write(np.asarray(node.hap_gt, dtype="<u2").tobytes())
+            w.write(struct.pack("<I", len(node.kmer_hashes)))
+            w.write(np.asarray(node.kmer_hashes, dtype="<u8").tobytes())
+
+    # ---- global k-mer table ----
+    w.write(struct.pack("<Q", 0))  # ReadBase placeholder (:877-878)
+    m = gi.table.size
+    blen = (gi.nhap >> 3) + 1
+    nbytes = (gi.nhap + 7) // 8
+    rec = np.zeros(
+        m,
+        dtype=np.dtype(
+            [("kh", "<u8"), ("c", "u1"), ("f", "u1"), ("blen", "<u8"),
+             ("bits", "u1", (blen,))],
+            align=False,
+        ),
+    )
+    rec["kh"] = gi.table.keys_np()
+    rec["c"] = gi.table.cov_u8()
+    rec["f"] = gi.table.freq_np()
+    rec["blen"] = blen
+    hap_bytes = (
+        np.ascontiguousarray(gi.table.hap_words_np()).view(np.uint8)
+        if _np_little()
+        else _words_to_bytes(gi.table.hap_words_np())
+    )
+    take = min(nbytes, hap_bytes.shape[1], blen)
+    rec["bits"][:, :take] = hap_bytes[:, :take]
+    rec["bits"][:, blen - 1] |= (
+        gi.table.refflag_np().astype(np.uint8) << 7
+    )
+    with open(path, "wb") as fh:
+        fh.write(w.getvalue())
+        rec.tofile(fh)
+
+
+def _np_little() -> bool:
+    import sys
+
+    return sys.byteorder == "little"
+
+
+def _words_to_bytes(words: np.ndarray) -> np.ndarray:
+    """[M, W] uint32 -> [M, W*4] little-endian bytes (big-endian hosts)."""
+    m, w_ = words.shape
+    out = np.zeros((m, w_ * 4), np.uint8)
+    for j in range(4):
+        out[:, j::4] = ((words >> np.uint32(8 * j)) & np.uint32(0xFF)).astype(
+            np.uint8
+        )
+    return out
 
 
 def rebuild_local_bits(gi: GraphIndex) -> None:

@@ -173,7 +173,8 @@ def load_graph(path: str) -> GraphIndex:
                 seq_blob[seq_off[si] : seq_off[si + 1]].decode("ascii")
             )
             si += 1
-        node.hap_gt = gt_flat[gt_off[i] : gt_off[i + 1]].astype(int).tolist()
+        node.hap_gt = gt_flat[gt_off[i] : gt_off[i + 1]]  # u16 view; finalize
+                                                          # re-homes into gt_mat
         node.kmer_hashes = kmer_flat[km_off[i] : km_off[i + 1]].tolist()
         node.local_bits = local_bits_arr[km_off[i] : km_off[i + 1]].copy()
     graph.finalize()

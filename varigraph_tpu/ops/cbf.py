@@ -66,8 +66,10 @@ def _positions(hashes: jnp.ndarray, seeds: jnp.ndarray, m: int) -> jnp.ndarray:
 #   m <= 2^31: still ONE full-size scatter histogram (8 GiB; the scatter
 #     index fits int32) but the saturating combine walks [_ADD_CHUNK]-row
 #     slices in place -- the full-array u32 combine would need ~20 GiB.
-#   m >= 2^32: use ops.cbf.HostCBF (wired in index/build.make_genome_cbf)
-#     or the sharded CBF -- XLA TPU rejects gathers/updates whose 1-D index
+#   m >= 2^32: single-chip runs use PasswiseGenomeCBF (wired in
+#     index/build.make_genome_cbf); multi-chip runs use ShardedCBF.  (HostCBF
+#     is a host-RAM oracle kept for tests only.)  XLA TPU rejects
+#     gathers/updates whose 1-D index
 #     space exceeds 32 bits, and the per-chunk re-scatter fallback below
 #     (kept for the sharded path's oversized shards) measured ~14 s/batch:
 #     one scatter pass per chunk multiplies the scatter work by m/chunk.
@@ -258,10 +260,11 @@ class CountingBloomFilter:
 
 
 class HostCBF:
-    """Counting Bloom filter whose u8 counter array lives in HOST RAM, for
-    genomes whose filter exceeds one chip's HBM on a single-chip run
-    (a 3 Gbp genome at p=0.01 needs ~27 GB of counters; v5e has 16 GB --
-    multi-chip runs shard instead, see ShardedCBF).
+    """Host-RAM counting Bloom filter — a test/verification oracle, NOT wired
+    into production (index/build.make_genome_cbf uses PasswiseGenomeCBF for
+    beyond-HBM filters; multi-chip runs use ShardedCBF).  Kept because its
+    u8 counter array is directly inspectable, which the pass-wise filter's
+    transient ranges are not.
 
     Hash positions are still computed on device (vectorized Murmur3);
     the saturating update runs on host as a sort + run-length + vectorized
@@ -393,6 +396,11 @@ class PasswiseGenomeCBF:
     """
 
     RANGE_WIDTH = 1 << 30
+    # query hashes are processed in fixed-size blocks: the [kh, Q] position
+    # intermediate in _range_min_counts is kh*8 bytes per query, which at a
+    # 3 Gbp scale (Q ~ 10^8+, kh ~ 9) would be 10-20 GB materialized at once.
+    # 2^22 queries/block bounds it at ~300 MB regardless of Q.
+    QUERY_BLOCK = 1 << 22
 
     def __init__(self, fasta_map: dict[str, str], n: int, k: int,
                  p: float = 0.01, seed: int = 0):
@@ -404,12 +412,25 @@ class PasswiseGenomeCBF:
         self._nonzero = None  # filled by count()
 
     def count(self, hashes) -> np.ndarray:
-        """Build all ranges and return min-counts for the query hashes."""
+        """Build all ranges and return min-counts for the query hashes.
+
+        NOTE: every call re-builds all filter ranges from the genome (the
+        filter is never materialized whole); batch all queries into ONE
+        call, as index_graph does."""
         from ..index.build import segment_genome_batches
 
-        hp, _, nreal = CountingBloomFilter._pad_pow2(hashes, None)
-        q = jnp.asarray(hp)
-        counts = jnp.full(q.shape, 255, jnp.uint8)
+        hashes = np.asarray(hashes, dtype=np.uint64).reshape(-1)
+        nreal = len(hashes)
+        qb = self.QUERY_BLOCK
+        if nreal <= qb:
+            hp, _, _ = CountingBloomFilter._pad_pow2(hashes, None)
+            host_blocks = [hp]
+        else:
+            pad = (-nreal) % qb
+            hp = np.concatenate([hashes, np.zeros(pad, np.uint64)])
+            host_blocks = [hp[i:i + qb] for i in range(0, len(hp), qb)]
+        q_blocks = [jnp.asarray(b) for b in host_blocks]
+        counts = [jnp.full(b.shape, 255, jnp.uint8) for b in q_blocks]
         seeds = jnp.asarray(self.seeds)
 
         # stage the genome's code batches on device once; reused every pass
@@ -428,13 +449,14 @@ class PasswiseGenomeCBF:
                 filt_range = _range_add_batch(
                     filt_range, codes, seeds, c0_t, self._k, m, width
                 )
-            counts = _range_min_counts(
-                counts, filt_range, q, seeds, c0_t, m, width
-            )
+            for bi, q in enumerate(q_blocks):
+                counts[bi] = _range_min_counts(
+                    counts[bi], filt_range, q, seeds, c0_t, m, width
+                )
             nonzero += int(_range_nonzero(filt_range, width))
             del filt_range
         self._nonzero = nonzero
-        return np.asarray(counts)[:nreal]
+        return np.concatenate([np.asarray(c) for c in counts])[:nreal]
 
     def find(self, hashes) -> np.ndarray:
         return self.count(hashes) > 0
@@ -479,6 +501,7 @@ class ShardedCBF:
         )
         self._add = make_cbf_add_sharded(self.mesh, m, self.num_hashes)
         self._count = make_cbf_count_sharded(self.mesh, m, self.num_hashes)
+        self._nonzero_fn = None  # built lazily (occupancy is a log-line op)
 
     def add(self, hashes, mask=None) -> None:
         if hasattr(hashes, "device"):
@@ -499,4 +522,11 @@ class ShardedCBF:
         return self.count(hashes) > 0
 
     def occupancy(self) -> float:
-        return float(jnp.mean((self.filter > 0).astype(jnp.float32)))
+        # chunked per-shard reduction + psum: a plain f32 mean materializes
+        # 4x the u8 shard size and OOMs at exactly the genome scales this
+        # class exists for (see _nonzero_frac's docstring).
+        if self._nonzero_fn is None:
+            from ..parallel.mesh import make_cbf_nonzero_sharded
+
+            self._nonzero_fn = make_cbf_nonzero_sharded(self.mesh, self.size)
+        return float(self._nonzero_fn(self.filter)) / self.size

@@ -178,19 +178,33 @@ def make_cbf_add_sharded(mesh: Mesh, m: int, num_hashes: int):
 
 def make_cbf_count_sharded(mesh: Mesh, m: int, num_hashes: int):
     """Returns a jitted fn: (filt_shard, hashes, seeds) -> min counts [N]."""
-    from ..ops.cbf import _positions
+    from ..ops.cbf import _ADD_CHUNK, _positions
 
     n_dev = mesh.devices.size
     assert m % n_dev == 0, (m, n_dev)
     m_l = m // n_dev
+    if m_l > (1 << 31):
+        # int32 local indices would overflow (positions >= 2^31 clamp to 0
+        # and corrupt counts); gather row-wise on a [rows, chunk] view so
+        # each per-dimension index stays within 32 bits, matching the add
+        # path's huge-shard branch.
+        assert m_l % _ADD_CHUNK == 0, (m_l, _ADD_CHUNK)
 
     def shard_fn(filt_l, hashes, seeds):
         pos = _positions(hashes, seeds, m)
         lo = jax.lax.axis_index("data").astype(jnp.uint64) * jnp.uint64(m_l)
         rel = pos - lo
         inrange = rel < jnp.uint64(m_l)
-        local = jnp.minimum(rel, jnp.uint64(m_l - 1)).astype(jnp.int32)
-        vals = jnp.where(inrange, filt_l[local], jnp.uint8(255))
+        safe = jnp.where(inrange, rel, jnp.uint64(0))
+        if m_l <= (1 << 31):
+            got = filt_l[safe.astype(jnp.int32)]
+        else:
+            rows = m_l // _ADD_CHUNK
+            f2 = filt_l.reshape(rows, _ADD_CHUNK)
+            r = (safe >> jnp.uint64(_ADD_CHUNK.bit_length() - 1)).astype(jnp.int32)
+            c = (safe & jnp.uint64(_ADD_CHUNK - 1)).astype(jnp.int32)
+            got = f2[r, c]
+        vals = jnp.where(inrange, got, jnp.uint8(255))
         vals = jax.lax.pmin(vals, "data")            # [kh, N] replicated
         return jnp.min(vals, axis=0)
 
@@ -198,6 +212,32 @@ def make_cbf_count_sharded(mesh: Mesh, m: int, num_hashes: int):
         shard_fn, mesh=mesh,
         in_specs=(P("data"), P(), P()), out_specs=P(),
     )
+    return jax.jit(mapped)
+
+
+def make_cbf_nonzero_sharded(mesh: Mesh, m: int):
+    """Returns a jitted fn: (filt_shard,) -> total nonzero counters (u64).
+
+    Reduces each shard one position-range chunk at a time so no full-shard
+    int/float intermediate materializes (a plain f32 mean over the global
+    filter is 4x the u8 size and OOMs exactly at the genome scales the
+    sharded CBF exists for)."""
+    from ..ops.cbf import _ADD_CHUNK
+
+    n_dev = mesh.devices.size
+    assert m % n_dev == 0, (m, n_dev)
+    m_l = m // n_dev
+
+    def shard_fn(filt_l):
+        total = jnp.zeros((), jnp.uint64)
+        for c0 in range(0, m_l, _ADD_CHUNK):
+            w = min(_ADD_CHUNK, m_l - c0)
+            chunk = jax.lax.dynamic_slice(filt_l, (c0,), (w,))
+            total = total + jnp.sum(chunk > 0, dtype=jnp.uint32).astype(jnp.uint64)
+        return jax.lax.psum(total, "data")
+
+    mapped = jax.shard_map(shard_fn, mesh=mesh, in_specs=(P("data"),),
+                           out_specs=P())
     return jax.jit(mapped)
 
 
