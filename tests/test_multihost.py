@@ -1,5 +1,6 @@
 """Multi-host genotyping: a 2-process CPU run (jax.distributed + Gloo
-collectives) must produce a VCF byte-identical to the single-process run.
+collectives) must produce a VCF byte-identical to the single-process run,
+for BOTH engines (np oracle and the jax device engine).
 
 Each process streams its round-robin share of the sample's FASTQ files;
 per-host counts merge with one cross-host collective
@@ -38,7 +39,11 @@ def _split_fastq(src: str, outs: list[str]) -> None:
         fh.close()
 
 
-def test_two_process_run_matches_single(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("engine", ["np", "jax"])
+def test_two_process_run_matches_single(tmp_path, engine):
     out = str(tmp_path)
     paths, _ = generate_dataset(
         out, seed=23, chrom_lens={"chr1": 5000}, n_variants=20,
@@ -66,7 +71,7 @@ def test_two_process_run_matches_single(tmp_path):
         os.makedirs(run_dir, exist_ok=True)
         return subprocess.Popen(
             [sys.executable, "-m", "varigraph_tpu", "genotype",
-             "--load-graph", gpath, "-s", cfg_file, "--engine", "np",
+             "--load-graph", gpath, "-s", cfg_file, "--engine", engine,
              "--seed", "7", "--out-dir", run_dir] + extra,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True,
