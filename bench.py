@@ -156,22 +156,30 @@ def read_first_seqs(fq_path, n):
 
 def oracle_check(keys_np, batch_shape, fuse, step, cov_template, keys_dev, fq):
     """Anchor the production counting dispatch against the pure-Python spec
-    oracle: ORACLE_READS real reads are packed into row 0.. of an otherwise
-    empty stack of the PRODUCTION shape (so no extra compile), counted on
-    device, and the per-key counts must exactly equal a host sketch_ref +
-    searchsorted join."""
+    oracle: ORACLE_READS real reads are packed (2-bit wire format) into row
+    0.. of an otherwise empty stack of the PRODUCTION shape (so no extra
+    compile), counted on device, and the per-key counts must exactly equal
+    a host sketch_ref + searchsorted join."""
     import numpy as np
 
+    from varigraph_tpu.ops.kmer import pack_codes_np
     from varigraph_tpu.ops.sketch_ref import SEQ_NT4_TABLE, sketch_ref
 
     seqs = read_first_seqs(fq, ORACLE_READS)
     b, l = batch_shape
-    stack = np.full((fuse, b, l), 4, dtype=np.uint8)
+    codes = np.full((b, l), 4, dtype=np.uint8)
+    lens = np.zeros(b, np.int32)
     vals = []
     for r, s in enumerate(seqs):
         s = s[:l]
-        stack[0, r, : len(s)] = SEQ_NT4_TABLE[np.frombuffer(s, np.uint8)]
+        row = SEQ_NT4_TABLE[np.frombuffer(s, np.uint8)]
+        assert (row < 4).all(), "oracle reads must be pure ACGT (prefix-valid)"
+        codes[r, : len(s)] = row
+        lens[r] = len(s)
         vals.extend(sketch_ref(s, K))
+    packed0 = pack_codes_np(codes, lens)
+    stack = np.zeros((fuse,) + packed0.shape, dtype=np.uint8)
+    stack[0] = packed0
     vals = np.asarray(vals, dtype=np.uint64)
     m = len(keys_np)
     idx = np.searchsorted(keys_np, vals)
@@ -202,7 +210,7 @@ def bench_ours(paths):
 
     from varigraph_tpu.genotype.counting import _FUSE, _count_fused, count_reads
     from varigraph_tpu.index.serialize import load_graph
-    from varigraph_tpu.io.fastq import stream_read_batches
+    from varigraph_tpu.io.fastq import stream_packed_batches
 
     gi = load_graph(paths["graph"])
     log(f"backend: {jax.devices()[0]}; table size {gi.table.size}")
@@ -212,15 +220,15 @@ def bench_ours(paths):
     batches = []
     for fq in paths["fqs"]:
         batches.extend(
-            codes for codes, _ in stream_read_batches(fq, batch_size, max_len, K)
+            p for p, _ in stream_packed_batches(fq, batch_size, max_len, K)
         )
     kmers_one_pass = count_total_kmers(paths["fqs"])
     total_kmers = kmers_one_pass * REPEATS
     log(f"{len(batches)} batches/pass, {total_kmers/1e6:.1f}M read k-mers/trial")
 
-    # stack into fused groups of the production dispatch shape [F, B, L]
+    # stack into fused groups of the production dispatch shape [F, B, L/4+2]
     stacks = []
-    pad = np.full_like(batches[0], 4)
+    pad = np.zeros_like(batches[0])
     for i in range(0, len(batches), _FUSE):
         grp = batches[i : i + _FUSE]
         while len(grp) < _FUSE:

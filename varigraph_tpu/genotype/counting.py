@@ -5,12 +5,16 @@ Replaces the reference's thread-pooled per-read hash-map probing
   FASTQ stream -> packed [B, L] base-code batches -> device sketch scan ->
   banded merge join against the sorted table -> compacted coverage add.
 
-Host->device feed design (the end-to-end bottleneck): per-batch uploads pay
-a fixed dispatch/link latency (~44 ms through the axon tunnel, CLAUDE.md),
-so batches are FUSED -- ``_FUSE`` host batches stack into one [F, B, L]
-upload, and one jitted ``lax.scan`` dispatch joins all F sub-batches.
-Uploads run on a small thread pool (depth ``_UPLOAD_DEPTH``) so H2D copies
-overlap both the gz/packing feed and device compute.
+Host->device feed design (the end-to-end bottleneck): read batches travel
+in the 2-bit PACKED wire format ([B, L/4+2] rows: 4 bases/byte + u16 valid
+length, ops/kmer.unpack_2bit) -- 4x fewer H2D bytes at ~full entropy, which
+matters doubly through the axon tunnel (its client compresses low-entropy
+buffers at ~40 MB/s but ships high-entropy ones at ~1 GB/s,
+tools/h2d_probe2.py).  Batches are additionally FUSED -- ``_FUSE`` host
+batches stack into one [F, B, L/4+2] upload, and one jitted ``lax.scan``
+dispatch joins all F sub-batches.  Uploads run on a small thread pool
+(depth ``_UPLOAD_DEPTH``) so H2D copies overlap both the gz/packing feed
+and device compute.
 """
 
 from __future__ import annotations
@@ -23,8 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.fastq import stream_read_batches_multi
-from ..ops.kmer import sketch_codes
+from ..io.fastq import stream_packed_batches_multi
+from ..ops.kmer import sketch_packed
 from ..ops.table import KmerTable, count_merge
 from ..utils.log import log
 
@@ -37,8 +41,8 @@ def _on_tpu() -> bool:
 
 
 def _count_batch_inner(cov: jnp.ndarray, keys: jnp.ndarray,
-                       codes: jnp.ndarray, k: int):
-    values, emit = sketch_codes(codes, k)
+                       packed: jnp.ndarray, k: int):
+    values, emit = sketch_packed(packed, k)
     q, em = values.reshape(-1), emit.reshape(-1)
     if _on_tpu():
         # Pallas banded merge-join: 7.7 ms/batch vs 16.9 ms for the two-sort
@@ -52,19 +56,20 @@ def _count_batch_inner(cov: jnp.ndarray, keys: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
-def _count_batch(cov: jnp.ndarray, keys: jnp.ndarray, codes: jnp.ndarray, k: int):
-    return _count_batch_inner(cov, keys, codes, k)
+def _count_batch(cov: jnp.ndarray, keys: jnp.ndarray, packed: jnp.ndarray,
+                 k: int):
+    return _count_batch_inner(cov, keys, packed, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
-def _count_fused(cov: jnp.ndarray, keys: jnp.ndarray, codes_f: jnp.ndarray,
+def _count_fused(cov: jnp.ndarray, keys: jnp.ndarray, packed_f: jnp.ndarray,
                  k: int):
-    """Join F stacked batches ([F, B, L]) in one dispatch via lax.scan."""
+    """Join F stacked packed batches ([F, B, L/4+2]) in one lax.scan dispatch."""
 
-    def body(c, codes):
-        return _count_batch_inner(c, keys, codes, k), None
+    def body(c, packed):
+        return _count_batch_inner(c, keys, packed, k), None
 
-    cov, _ = jax.lax.scan(body, cov, codes_f)
+    cov, _ = jax.lax.scan(body, cov, packed_f)
     return cov
 
 
@@ -75,18 +80,19 @@ _UPLOAD_DEPTH = 3    # uploads in flight ahead of the consumer
 
 
 def _fused_groups(batch_iter, fuse: int):
-    """Stack ``fuse`` host batches into [F, B, L]; the tail group is padded
-    with all-4 (no-emission) rows so every dispatch has one static shape."""
+    """Stack ``fuse`` packed host batches into [F, B, L/4+2]; the tail group
+    is padded with zero rows (valid length 0 -> no emissions) so every
+    dispatch has one static shape."""
     group, gb = [], 0
-    for codes, bases in batch_iter:
-        group.append(codes)
+    for packed, bases in batch_iter:
+        group.append(packed)
         gb += bases
         if len(group) == fuse:
             yield np.stack(group), gb, fuse
             group, gb = [], 0
     if group:
         n_real = len(group)
-        pad = np.full_like(group[0], 4)
+        pad = np.zeros_like(group[0])
         while len(group) < fuse:
             group.append(pad)
         yield np.stack(group), gb, n_real
@@ -108,6 +114,7 @@ def count_reads(
     read_base = 0
     ngroups = 0
     nbatches = 0
+    max_len = (max_len + 3) // 4 * 4  # packed wire rows need L % 4 == 0
 
     # multi-device: shard each batch across the mesh, psum the count deltas
     # (parallel/mesh.py); single device uses the donated fused step
@@ -119,10 +126,10 @@ def count_reads(
     if n_dev > 1 and batch_size % n_dev == 0:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import make_count_batch_replicated, make_mesh
+        from ..parallel.mesh import make_count_batch_replicated_packed, make_mesh
 
         mesh = make_mesh(n_dev)
-        mesh_step = make_count_batch_replicated(mesh, k)
+        mesh_step = make_count_batch_replicated_packed(mesh, k)
         # fused groups upload sharded over the batch axis; slicing group[j]
         # yields a [B, L] array already laid out P("data", None)
         sharding = NamedSharding(mesh, P(None, "data", None))
@@ -158,8 +165,8 @@ def count_reads(
 
     try:
         for stacked, gb, n_real in _fused_groups(
-            stream_read_batches_multi(fastq_files, batch_size, max_len, k,
-                                      max_parallel=max(io_threads, 1)),
+            stream_packed_batches_multi(fastq_files, batch_size, max_len, k,
+                                        max_parallel=max(io_threads, 1)),
             _FUSE,
         ):
             inflight.append((pool.submit(upload, stacked), gb, n_real))

@@ -68,6 +68,7 @@ struct Reader {
 
     std::string seq;      // current read being split into segments
     size_t seg_start = 0;
+    size_t run_end = 0;   // end of the current ACGT run (packed API only)
     bool have_seq = false;
 
     bool fill() {
@@ -257,6 +258,82 @@ long vgf_next_batch(void* handle, unsigned char* out, long batch,
         } else {
             r->seg_start = start + step;
         }
+    }
+    *bases_out = bases;
+    return row;
+}
+
+// Packed variant: each row is max_len/4 bytes of 2-bit base codes followed
+// by a u16-LE valid-length (the wire format of ops/kmer.unpack_2bit).  Reads
+// are split BOTH at non-ACGT bases (hard split: the sketch's N-reset means
+// no k-mer spans an N, so segments carry exactly the same k-mer set) and at
+// max_len (overlapping split, overlap k-1, as vgf_next_batch).  Segments
+// shorter than k emit no k-mers and are dropped.  Rationale: the axon
+// tunnel uploads low-entropy bytes ~20x slower than high-entropy ones;
+// 2-bit packing is 4x fewer bytes at ~full entropy (tools/h2d_probe2.py).
+//
+//   long vgf_next_batch_packed(void* h, unsigned char* out /*[batch, max_len/4+2]*/,
+//                              long batch, long max_len, long k, long* bases_out);
+//   -> rows filled (0 at EOF; caller pre-fills out with 0)
+long vgf_next_batch_packed(void* handle, unsigned char* out, long batch,
+                           long max_len, long k, long* bases_out) {
+    Reader* r = static_cast<Reader*>(handle);
+    const long row_bytes = max_len / 4 + 2;
+    const long step = max_len - (k - 1);
+    long row = 0;
+    long bases = 0;
+    while (row < batch) {
+        if (!r->have_seq) {
+            if (!r->next_record()) break;
+            r->seg_start = 0;   // scan cursor within the read
+            r->run_end = 0;     // no current ACGT run
+            r->have_seq = true;
+            bases += (long)r->seq.size();
+        }
+        const unsigned char* s =
+            reinterpret_cast<const unsigned char*>(r->seq.data());
+        const long n = (long)r->seq.size();
+        long seg = (long)r->seg_start;
+        long run_end = (long)r->run_end;
+        if (run_end <= seg) {
+            // find the next ACGT run [seg, run_end)
+            while (seg < n && code_table[s[seg]] >= 4) ++seg;
+            if (seg >= n) { r->have_seq = false; continue; }
+            run_end = seg;
+            while (run_end < n && code_table[s[run_end]] < 4) ++run_end;
+            if (run_end - seg < k) {  // too short to emit: skip the run
+                r->seg_start = (size_t)run_end;
+                r->run_end = (size_t)run_end;
+                continue;
+            }
+            r->run_end = (size_t)run_end;
+        }
+        long len = run_end - seg;
+        if (len > max_len) len = max_len;
+        unsigned char* dst = out + row * row_bytes;
+        long i = 0;
+        for (; i + 4 <= len; i += 4) {
+            dst[i / 4] = (unsigned char)(code_table[s[seg + i]]
+                       | (code_table[s[seg + i + 1]] << 2)
+                       | (code_table[s[seg + i + 2]] << 4)
+                       | (code_table[s[seg + i + 3]] << 6));
+        }
+        if (i < len) {
+            unsigned char b = 0;
+            for (long j = 0; i + j < len; ++j) {
+                b |= (unsigned char)(code_table[s[seg + i + j]] << (2 * j));
+            }
+            dst[i / 4] = b;
+        }
+        dst[max_len / 4] = (unsigned char)(len & 0xFF);
+        dst[max_len / 4 + 1] = (unsigned char)((len >> 8) & 0xFF);
+        ++row;
+        if (seg + max_len >= run_end) {
+            r->seg_start = (size_t)run_end;  // run done; scan onward
+        } else {
+            r->seg_start = (size_t)(seg + step);
+        }
+        if ((long)r->seg_start >= n) r->have_seq = false;
     }
     *bases_out = bases;
     return row;

@@ -64,6 +64,15 @@ def get_fastq_lib():
                 ctypes.c_long, ctypes.c_long, ctypes.c_long,
                 ctypes.POINTER(ctypes.c_long),
             ]
+            try:
+                lib.vgf_next_batch_packed.restype = ctypes.c_long
+                lib.vgf_next_batch_packed.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_long),
+                ]
+            except AttributeError:  # stale .so without the packed API
+                pass
             lib.vgf_close.restype = None
             lib.vgf_close.argtypes = [ctypes.c_void_p]
             _LIB = lib

@@ -137,6 +137,56 @@ def sketch_codes(codes: jnp.ndarray, k: int):
     return values, emit
 
 
+PACKED_LEN_BYTES = 2  # u16-LE row length appended to each packed row
+
+
+def unpack_2bit(packed: jnp.ndarray) -> jnp.ndarray:
+    """Decode the wire format of the packed read feed.
+
+    packed: uint8 [B, L//4 + 2] -- each row is L//4 bytes of 2-bit base
+    codes (base i in bits (2i mod 8) of byte i//4) followed by a u16-LE
+    valid-length.  Returns codes uint8 [B, L] with 0..3 for the first
+    ``length`` bases and 4 (never-emit padding) beyond.
+
+    Why this exists: the axon tunnel uploads low-entropy buffers ~20x
+    slower than high-entropy ones (client-side compression, measured in
+    tools/h2d_probe2.py), and 1-byte base codes are both 4x larger and
+    highly compressible.  2-bit packing makes the H2D payload 4x smaller
+    at ~full entropy; the unpack here is a trivial VPU shift/mask that
+    fuses into the sketch scan.
+    """
+    body = packed[:, :-PACKED_LEN_BYTES]
+    ltail = packed[:, -PACKED_LEN_BYTES:].astype(jnp.int32)
+    lengths = ltail[:, 0] | (ltail[:, 1] << 8)              # [B]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * jnp.uint8(2)  # [4]
+    c = (body[:, :, None] >> shifts[None, None, :]) & jnp.uint8(3)
+    c = c.reshape(body.shape[0], -1)                        # [B, L]
+    valid = jnp.arange(c.shape[1], dtype=jnp.int32)[None, :] < lengths[:, None]
+    return jnp.where(valid, c, jnp.uint8(4))
+
+
+def sketch_packed(packed: jnp.ndarray, k: int):
+    """sketch_codes over the packed wire format (see unpack_2bit)."""
+    return sketch_codes(unpack_2bit(packed), k)
+
+
+def pack_codes_np(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Host-side packer: [B, L] codes 0..4 + [B] valid lengths ->
+    [B, L//4 + 2] wire rows.  Codes beyond ``lengths`` are ignored; rows
+    must be prefix-valid (no interior >=4 codes within ``lengths``)."""
+    B, L = codes.shape
+    assert L % 4 == 0, L
+    c = np.where(codes > 3, 0, codes).astype(np.uint8).reshape(B, L // 4, 4)
+    body = (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+            | (c[:, :, 3] << 6)).astype(np.uint8)
+    out = np.empty((B, L // 4 + PACKED_LEN_BYTES), np.uint8)
+    out[:, : L // 4] = body
+    lengths = lengths.astype(np.uint32)
+    out[:, L // 4] = (lengths & 0xFF).astype(np.uint8)
+    out[:, L // 4 + 1] = ((lengths >> 8) & 0xFF).astype(np.uint8)
+    return out
+
+
 def sketch_seq(seq: str | bytes, k: int) -> np.ndarray:
     """Convenience host wrapper: string -> emitted encoded k-mers (1-D u64)."""
     codes = encode_bases_np(seq)

@@ -72,6 +72,29 @@ def count_batch_replicated(mesh: Mesh, k: int, cov, keys, codes):
     return make_count_batch_replicated(mesh, k)(cov, keys, codes)
 
 
+def make_count_batch_replicated_packed(mesh: Mesh, k: int):
+    """As make_count_batch_replicated, but the batch arrives in the 2-bit
+    packed wire format ([B, L/4+2] rows, ops/kmer.unpack_2bit) -- the
+    production count_reads feed."""
+    from ..ops.kmer import sketch_packed
+
+    def shard_fn(cov, keys, packed):
+        values, emit = sketch_packed(packed, k)
+        delta = count_merge(
+            jnp.zeros_like(cov), keys, values.reshape(-1), emit.reshape(-1)
+        )
+        delta = jax.lax.psum(delta, "data")
+        return cov + delta
+
+    mapped = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data", None)),
+        out_specs=P(),
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 # ----------------------------------------------------------------------
 # hash-range-sharded table
 # ----------------------------------------------------------------------
