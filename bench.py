@@ -215,7 +215,10 @@ def bench_ours(paths):
     gi = load_graph(paths["graph"])
     log(f"backend: {jax.devices()[0]}; table size {gi.table.size}")
 
-    batch_size, max_len = 16384, 160
+    # rows sized to the data (150 bp reads; the nearest multiple of 4):
+    # at k=27 a [16384, 152] batch yields 126 join slots/row of which ~124
+    # emit -- 98% band occupancy vs 77% at the old 160-wide rows
+    batch_size, max_len = 16384, 152
 
     batches = []
     for fq in paths["fqs"]:
@@ -348,14 +351,24 @@ def bench_reference(paths):
     cfg_path = os.path.join(CACHE, "samples_ref.cfg")
     with open(cfg_path, "w") as fh:
         fh.write("S1 " + " ".join(paths["fqs"] * REPEATS) + "\n")
-    t0 = time.perf_counter()
-    r = subprocess.run(
-        [ref_bin, "genotype", "--load-graph", graph_bin, "-s", cfg_path,
-         "-t", "2"],
-        capture_output=True, text=True, timeout=3600, cwd=CACHE,
-    )
-    if r.returncode != 0:
+    # the reference's ThreadPool occasionally deadlocks at startup (0 CPU,
+    # futex wait, observed 2026-08-20); bound each attempt and retry
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [ref_bin, "genotype", "--load-graph", graph_bin, "-s",
+                 cfg_path, "-t", "2"],
+                capture_output=True, text=True, timeout=600, cwd=CACHE,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"reference genotype attempt {attempt} timed out (its "
+                f"thread pool can deadlock at startup); retrying")
+            continue
+        if r.returncode == 0:
+            break
         log(f"reference genotype failed: {r.stderr[-500:]}")
+    else:
         return None
     # parse its log timestamps around the k-mer collection phase
     lines = r.stderr.splitlines()

@@ -29,7 +29,7 @@ def main():
     gi = load_graph(paths["graph"])
     files = paths["fqs"] * REPEATS
     total_kmers = count_total_kmers(paths["fqs"]) * REPEATS
-    batch_size, max_len = 16384, 160
+    batch_size, max_len = 16384, 152
 
     configs = [(f, d) for f in (4, 8, 16) for d in (3, 5)]
     for fuse, depth in configs:

@@ -43,6 +43,11 @@ def _on_tpu() -> bool:
 def _count_batch_inner(cov: jnp.ndarray, keys: jnp.ndarray,
                        packed: jnp.ndarray, k: int):
     values, emit = sketch_packed(packed, k)
+    # positions 0..k-2 of every row can never emit (the rolling window is
+    # incomplete); dropping them statically cuts the join's query slots by
+    # (k-1)/L (~16% at k=27, L=160) -- the query sort is the kernel's
+    # dominant cost (ops/join_pallas.py)
+    values, emit = values[..., k - 1 :], emit[..., k - 1 :]
     q, em = values.reshape(-1), emit.reshape(-1)
     if _on_tpu():
         # Pallas banded merge-join: 7.7 ms/batch vs 16.9 ms for the two-sort

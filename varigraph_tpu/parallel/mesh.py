@@ -53,6 +53,8 @@ def make_count_batch_replicated(mesh: Mesh, k: int):
 
     def shard_fn(cov, keys, codes):
         values, emit = sketch_codes(codes, k)
+        # positions 0..k-2 never emit; drop them before the join
+        values, emit = values[..., k - 1 :], emit[..., k - 1 :]
         delta = count_merge(
             jnp.zeros_like(cov), keys, values.reshape(-1), emit.reshape(-1)
         )
@@ -80,6 +82,8 @@ def make_count_batch_replicated_packed(mesh: Mesh, k: int):
 
     def shard_fn(cov, keys, packed):
         values, emit = sketch_packed(packed, k)
+        # positions 0..k-2 never emit; drop them before the join
+        values, emit = values[..., k - 1 :], emit[..., k - 1 :]
         delta = count_merge(
             jnp.zeros_like(cov), keys, values.reshape(-1), emit.reshape(-1)
         )
@@ -130,6 +134,9 @@ def make_count_batch_hash_sharded(mesh: Mesh, k: int):
 
     def shard_fn(cov_l, keys_l, codes):
         values, emit = sketch_codes(codes, k)
+        # positions 0..k-2 never emit; dropping them also shrinks the
+        # all-gather payload by (k-1)/L
+        values, emit = values[..., k - 1 :], emit[..., k - 1 :]
         q = jax.lax.all_gather(values.reshape(-1), "data", tiled=True)
         msk = jax.lax.all_gather(emit.reshape(-1), "data", tiled=True)
         return count_merge(cov_l, keys_l, q, msk)
