@@ -171,18 +171,25 @@ def _sketch_contexts(contexts: list[str], k: int) -> list[np.ndarray]:
     (reference construct_index.cpp:687-689)."""
     order = sorted(range(len(contexts)), key=lambda i: len(contexts[i]))
     results: list[np.ndarray | None] = [None] * len(contexts)
+    log(f"Sketching {len(contexts)} distinct contexts on device ...")
     done = 0
     next_pct = 5
     min_len = 64
     while min_len < k:
         min_len *= 2
     i = 0
+    last_L = 0
     while i < len(order):
         # length bucket: smallest pow2 >= this (shortest remaining) context
         L = min_len
         while L < len(contexts[order[i]]):
             L *= 2
         rows = max(1, _CTX_BATCH_AREA // L)
+        if L != last_L:
+            # first batch of a bucket compiles (minutes through a remote-
+            # compile tunnel); say so before blocking on it
+            log(f"  context bucket L={L} ({rows} rows/batch) ...")
+            last_L = L
         batch_idx: list[int] = []
         while i < len(order) and len(batch_idx) < rows:
             if len(contexts[order[i]]) > L:
@@ -209,84 +216,107 @@ def _sketch_contexts(contexts: list[str], k: int) -> list[np.ndarray]:
 
 def _walk_task_range(args):
     """Walk contexts for tasks[t_lo:t_hi]; returns locally-deduped contexts
-    plus per-(task, hap, gt) references into them.
+    plus per-(task, walk) haplotype-bitmask GROUPS referencing them.
+
+    A walk's result is shared by every haplotype with the same GT whose
+    neighbor GTs match the walk's visited-node trace; instead of scanning a
+    memo per haplotype (O(nhap) Python per node -- 100M iterations at
+    500k nodes x 200 haps), each unique walk claims all matching haplotypes
+    in one vectorized compare against the dense GT matrix, and the group is
+    emitted directly as the packed bitmask the index aggregation needs.
 
     Module-level so multiprocessing fork workers can run it; reads the
     shared state from _PARWALK (set in the parent before forking, inherited
     copy-on-write -- no graph pickling)."""
     t_lo, t_hi = args
-    graph, tasks, k, fast_mode, vcf_ploidy, debug = _PARWALK
+    graph, tasks, k, fast_mode, vcf_ploidy, debug, nbytes = _PARWALK
     contexts: list[str] = []
     ctx_id: dict[str, int] = {}
-    ctx_ref: list[int] = []
-    ctx_meta: list[tuple[int, int, int]] = []
-    walks = walk_hits = 0
+    g_task: list[int] = []
+    g_cid: list[int] = []
+    g_bits: list[np.ndarray] = []
+    g_alt: list[bool] = []
+    g_h0: list[bool] = []
+    walks = hap_total = 0
     for task_id in range(t_lo, t_hi):
         chrom, node_idx, node = tasks[task_id]
         starts = graph.starts[chrom]
         nodes = graph.nodes[chrom]
-        hap_gt = node.hap_gt
-
-        def hgt(i: int, haplotype: int) -> int:
-            hg = nodes[i].hap_gt
-            return hg[haplotype] if haplotype < len(hg) else 0
-
-        # gt -> list of (up_gts, down_gts, (up, down, alt_seq))
-        memo: dict[int, list] = {}
-        for haplotype in range(len(hap_gt)):
-            gt = hap_gt[haplotype]
-            if fast_mode and haplotype > 0 and gt == 0:
-                group = (haplotype - 1) // vcf_ploidy
-                lo = group * vcf_ploidy + 1
-                hi = (group + 1) * vcf_ploidy
-                if sum(hap_gt[lo : hi + 1]) == 0:
-                    continue
+        gt_mat = graph.gt_mat[chrom]
+        hap_gt = np.asarray(node.hap_gt, np.int64)
+        H = len(hap_gt)
+        active = np.ones(H, bool)
+        if fast_mode and H > 1:
+            # skip alt-free sample blocks (construct_index.cpp:1152-1168):
+            # a hap > 0 with GT 0 walks only if its sample block has any alt
+            for lo in range(1, H, vcf_ploidy):
+                if hap_gt[lo : lo + vcf_ploidy].sum() == 0:
+                    active[lo : lo + vcf_ploidy] = False
+        hap_total += int(active.sum())
+        for gt in np.unique(hap_gt[active]):
+            gt = int(gt)
+            sel = np.flatnonzero(active & (hap_gt == gt))
             if gt >= len(node.seqs):
                 raise ValueError(
                     f"The node '{chrom}-{node.start}' lacks sequence information "
                     f"for haplotype {gt}."
                 )
-            result = None
-            for up_gts, down_gts, cached in memo.get(gt, ()):
-                if all(
-                    hgt(node_idx - 1 - j, haplotype) == g
-                    for j, g in enumerate(up_gts)
-                ) and all(
-                    hgt(node_idx + 1 + j, haplotype) == g
-                    for j, g in enumerate(down_gts)
-                ):
-                    result = cached
-                    walk_hits += 1
-                    break
-            if result is None:
+            while len(sel):
+                h = int(sel[0])
                 t_up: list[int] = []
                 t_down: list[int] = []
-                result = find_node_up_down_seq(
-                    haplotype, gt, node.seqs[gt], k - 1, node_idx, starts,
+                up, down, alt_seq = find_node_up_down_seq(
+                    h, gt, node.seqs[gt], k - 1, node_idx, starts,
                     nodes, trace_up=t_up, trace_down=t_down,
                 )
-                memo.setdefault(gt, []).append((tuple(t_up), tuple(t_down), result))
                 walks += 1
-            up, down, alt_seq = result
-            if debug:  # reference -D trace (construct_index.cpp:1189-1191)
-                import sys
+                # claim every remaining haplotype whose neighbor GTs match
+                # this walk's trace (gt_mat is 0-padded, matching the
+                # missing-haplotype -> REF default)
+                m = np.ones(len(sel), bool)
+                for j, g in enumerate(t_up):
+                    m &= gt_mat[node_idx - 1 - j, sel] == g
+                for j, g in enumerate(t_down):
+                    m &= gt_mat[node_idx + 1 + j, sel] == g
+                m[0] = True  # the walked haplotype always owns its result
+                assigned = sel[m]
+                sel = sel[~m]
+                if debug:  # reference -D trace (construct_index.cpp:1189-1191)
+                    import sys
 
-                sys.stderr.write(
-                    f"Node Start:{node.start}, Haplotype:{haplotype}, GT:{gt}, "
-                    f"Upstream:{up}, Current:{alt_seq}, Downstream:{down}\n"
+                    for hp in assigned:
+                        sys.stderr.write(
+                            f"Node Start:{node.start}, Haplotype:{int(hp)}, "
+                            f"GT:{gt}, Upstream:{up}, Current:{alt_seq}, "
+                            f"Downstream:{down}\n"
+                        )
+                ctx = up + alt_seq + down
+                cid = ctx_id.get(ctx)
+                if cid is None:
+                    cid = len(contexts)
+                    ctx_id[ctx] = cid
+                    contexts.append(ctx)
+                row = np.zeros(nbytes, np.uint8)
+                np.bitwise_or.at(
+                    row, assigned >> 3,
+                    (np.uint8(1) << (assigned & 7).astype(np.uint8)),
                 )
-            ctx = up + alt_seq + down
-            cid = ctx_id.get(ctx)
-            if cid is None:
-                cid = len(contexts)
-                ctx_id[ctx] = cid
-                contexts.append(ctx)
-            ctx_ref.append(cid)
-            ctx_meta.append((task_id, haplotype, gt))
-    return contexts, ctx_ref, ctx_meta, walks, walk_hits
+                g_task.append(task_id)
+                g_cid.append(cid)
+                g_bits.append(row)
+                g_alt.append(gt != 0)
+                g_h0.append(int(assigned[0]) == 0)
+    groups = (
+        np.asarray(g_task, np.int64),
+        np.asarray(g_cid, np.int64),
+        np.stack(g_bits) if g_bits else np.zeros((0, nbytes), np.uint8),
+        np.asarray(g_alt, bool),
+        np.asarray(g_h0, bool),
+    )
+    return contexts, groups, walks, hap_total
 
 
-_PARWALK = None  # (graph, tasks, k, fast_mode, vcf_ploidy, debug)
+_PARWALK = None  # (graph, tasks, k, fast_mode, vcf_ploidy, debug, nbytes)
 
 
 def collect_contexts(graph: GenomeGraph, k: int, vcf_ploidy: int,
@@ -297,7 +327,11 @@ def collect_contexts(graph: GenomeGraph, k: int, vcf_ploidy: int,
     pool starts from a process with no live JAX client (forking after
     device init risks deadlock on inherited locks).
 
-    Returns (tasks, contexts, ctx_ref, ctx_meta)."""
+    Returns (tasks, contexts, groups) where groups =
+    (g_task, g_cid, g_bits, g_alt, g_h0) numpy arrays, one row per unique
+    walk result: the task it belongs to, its context string id, the packed
+    bitmask of haplotypes sharing it, whether its GT is non-REF, and
+    whether haplotype 0 is among them."""
     tasks: list[tuple] = []  # (chrom, node_idx, node)
     for chrom in sorted(graph.nodes.keys()):
         nodes = graph.nodes[chrom]
@@ -308,12 +342,14 @@ def collect_contexts(graph: GenomeGraph, k: int, vcf_ploidy: int,
 
     # The walker is deterministic given (gt, GTs at its visited node range)
     # -- see find_node_up_down_seq.  Population VCFs have far fewer distinct
-    # local GT signatures than haplotypes, so walks are memoized per node by
-    # signature and the resulting context strings deduplicated globally
-    # before device sketching (the reference re-walks every haplotype,
-    # construct_index.cpp:1139-1186).
+    # local GT signatures than haplotypes, so each unique walk claims all
+    # matching haplotypes vectorized, and the resulting context strings are
+    # deduplicated globally before device sketching (the reference re-walks
+    # every haplotype, construct_index.cpp:1139-1186).
+    width = max((g.shape[1] for g in graph.gt_mat.values()), default=1)
+    nbytes = (width + 7) // 8
     global _PARWALK
-    _PARWALK = (graph, tasks, k, fast_mode, vcf_ploidy, debug)
+    _PARWALK = (graph, tasks, k, fast_mode, vcf_ploidy, debug, nbytes)
     n_workers = 1
     if threads > 1 and not debug and len(tasks) >= 256:
         n_workers = min(threads, os.cpu_count() or 1)
@@ -339,10 +375,9 @@ def collect_contexts(graph: GenomeGraph, k: int, vcf_ploidy: int,
 
     contexts: list[str] = []        # unique context strings
     ctx_id: dict[str, int] = {}
-    ctx_ref: list[int] = []         # per ctx_meta entry -> unique context id
-    ctx_meta: list[tuple[int, int, int]] = []  # (task_id, haplotype, gt)
-    walks = walk_hits = 0
-    for l_ctx, l_ref, l_meta, l_walks, l_hits in results:
+    part_groups = []
+    walks = hap_total = 0
+    for l_ctx, l_groups, l_walks, l_haps in results:
         remap = np.empty(len(l_ctx), np.int64)
         for i, ctx in enumerate(l_ctx):
             cid = ctx_id.get(ctx)
@@ -351,15 +386,22 @@ def collect_contexts(graph: GenomeGraph, k: int, vcf_ploidy: int,
                 ctx_id[ctx] = cid
                 contexts.append(ctx)
             remap[i] = cid
-        ctx_ref.extend(int(remap[r]) for r in l_ref)
-        ctx_meta.extend(l_meta)
+        l_task, l_cid, l_bits, l_alt, l_h0 = l_groups
+        part_groups.append(
+            (l_task, remap[l_cid] if len(l_cid) else l_cid, l_bits, l_alt, l_h0)
+        )
         walks += l_walks
-        walk_hits += l_hits
+        hap_total += l_haps
     del ctx_id
-    if walk_hits:
-        log(f"Graph walks: {walks} unique / {walks + walk_hits} total "
+    groups = tuple(
+        np.concatenate([p[i] for p in part_groups])
+        if part_groups else np.empty(0)
+        for i in range(5)
+    )
+    if hap_total > walks:
+        log(f"Graph walks: {walks} unique / {hap_total} total "
             f"({len(contexts)} distinct contexts)")
-    return tasks, contexts, ctx_ref, ctx_meta
+    return tasks, contexts, groups
 
 
 def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
@@ -377,7 +419,8 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     if walked is None:
         walked = collect_contexts(graph, k, vcf_ploidy, fast_mode,
                                   debug=debug, threads=threads)
-    tasks, contexts, ctx_ref, ctx_meta = walked
+    tasks, contexts, groups = walked
+    g_task, g_cid, g_bits, g_alt, g_h0 = groups
 
     # ---- device sketch + CBF counts ----
     uniq_ctx_kmers = _sketch_contexts(contexts, k)
@@ -392,55 +435,31 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     uniq_counts = bf.count(uniq_kmers) if len(uniq_kmers) else np.empty(0, np.uint8)
 
     # ---- vectorized per-node aggregation + global merge ----
-    # Haplotypes sharing a context collapse first into (task, context) groups
-    # (hap bitmask OR + has-alt/has-hap0 flags); entry arrays then carry one
-    # row per (group, kmer) instead of per (haplotype, kmer) -- for population
-    # VCFs this is a ~nhap-fold reduction in sort/merge work.
+    # The walk already collapsed haplotypes into (task, walk-result) groups
+    # (hap bitmask + has-alt/has-hap0 flags, collect_contexts); entry arrays
+    # carry one row per (group, kmer) instead of per (haplotype, kmer) --
+    # for population VCFs this is a ~nhap-fold reduction in sort/merge work.
     nbytes = (nhap + 7) // 8
-    group_of: dict[tuple[int, int], int] = {}
-    g_task_l: list[int] = []
-    g_cid_l: list[int] = []
-    g_bits_l: list[np.ndarray] = []
-    g_alt_l: list[bool] = []
-    g_h0_l: list[bool] = []
-    for (task_id, haplotype, gt), cid in zip(ctx_meta, ctx_ref):
-        key = (task_id, cid)
-        g = group_of.get(key)
-        if g is None:
-            g = len(g_task_l)
-            group_of[key] = g
-            g_task_l.append(task_id)
-            g_cid_l.append(cid)
-            g_bits_l.append(np.zeros(nbytes, np.uint8))
-            g_alt_l.append(False)
-            g_h0_l.append(False)
-        g_bits_l[g][haplotype >> 3] |= np.uint8(1 << (haplotype & 7))
-        if gt != 0:
-            g_alt_l[g] = True
-        if haplotype == 0:
-            g_h0_l[g] = True
-    del group_of
+    if len(g_task) and g_bits.shape[1] != nbytes:
+        fixed = np.zeros((g_bits.shape[0], nbytes), np.uint8)
+        w = min(nbytes, g_bits.shape[1])
+        fixed[:, :w] = g_bits[:, :w]
+        g_bits = fixed
 
-    e_task_l, e_kh_l, e_gidx_l = [], [], []
-    for g, (task_id, cid) in enumerate(zip(g_task_l, g_cid_l)):
-        kmers = uniq_ctx_kmers[cid]
-        if not len(kmers):
-            continue
-        e_task_l.append(np.full(len(kmers), task_id, np.int64))
-        e_kh_l.append(kmers)
-        e_gidx_l.append(np.full(len(kmers), g, np.int64))
-    if not e_kh_l:
+    kmer_counts = np.fromiter(
+        (len(uniq_ctx_kmers[c]) for c in g_cid), np.int64, len(g_cid)
+    ) if len(g_cid) else np.empty(0, np.int64)
+    if kmer_counts.sum() == 0:
         for _, _, node in tasks:
             node.kmer_hashes = []
             node.local_bits = np.zeros((0, nbytes), np.uint8)
         return (np.empty(0, np.uint64), np.empty(0, np.uint8),
                 np.zeros((0, nbytes), np.uint8), np.empty(0, bool))
-    e_task = np.concatenate(e_task_l)
-    e_kh = np.concatenate(e_kh_l)
-    e_gidx = np.concatenate(e_gidx_l)
-    g_bits = np.stack(g_bits_l)
-    g_alt = np.array(g_alt_l, bool)
-    g_h0 = np.array(g_h0_l, bool)
+    e_task = np.repeat(g_task, kmer_counts)
+    e_gidx = np.repeat(np.arange(len(g_task), dtype=np.int64), kmer_counts)
+    e_kh = np.concatenate(
+        [uniq_ctx_kmers[c] for c, n in zip(g_cid, kmer_counts) if n]
+    )
     e_fre = uniq_counts[np.searchsorted(uniq_kmers, e_kh)].astype(np.int64)
 
     # sort entries by (task, kmer); group = unique (task, kmer) pair

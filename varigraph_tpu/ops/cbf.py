@@ -442,7 +442,13 @@ class PasswiseGenomeCBF:
         m = self.size
         width = min(self.RANGE_WIDTH, m)
         nonzero = 0
-        for c0 in range(0, m, width):
+        n_ranges = -(-m // width)
+        for ri, c0 in enumerate(range(0, m, width)):
+            from ..utils.log import log
+
+            log(f"CBF range pass {ri + 1}/{n_ranges} "
+                f"({len(staged)} genome batches, {len(q_blocks)} query blocks)",
+                func="PasswiseGenomeCBF")
             filt_range = jnp.zeros((width,), jnp.uint8)
             c0_t = jnp.uint64(c0)
             for codes in staged:
