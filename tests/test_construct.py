@@ -41,7 +41,7 @@ def test_construct_basics(graph_index):
         for node in gi.graph.nodes[chrom]:
             if node.is_variant:
                 n_var += 1
-                if node.kmer_hashes:
+                if len(node.kmer_hashes):
                     with_kmers += 1
                     assert len(node.local_bits) == len(node.kmer_hashes)
     assert n_var == 12
@@ -113,7 +113,7 @@ def test_save_load_roundtrip(tmp_path, graph_index):
             assert a.start == b.start
             assert a.seqs == b.seqs
             assert list(a.hap_gt) == list(b.hap_gt)
-            assert a.kmer_hashes == b.kmer_hashes
+            assert np.array_equal(a.kmer_hashes, b.kmer_hashes)
             assert np.asarray(a.local_bits).size == np.asarray(b.local_bits).size
             if np.asarray(a.local_bits).size:
                 assert (np.asarray(a.local_bits) == np.asarray(b.local_bits)).all()
@@ -151,7 +151,7 @@ def test_threaded_construct_matches_serial(tmp_path):
     assert (gi1.table.refflag_np() == gi2.table.refflag_np()).all()
     for chrom in gi1.graph.nodes:
         for n1, n2 in zip(gi1.graph.nodes[chrom], gi2.graph.nodes[chrom]):
-            assert n1.kmer_hashes == n2.kmer_hashes
+            assert np.array_equal(n1.kmer_hashes, n2.kmer_hashes)
             assert np.array_equal(n1.local_bits, n2.local_bits)
 
 

@@ -73,7 +73,7 @@ def test_load_reference_graph_bin(shared_data):
     some = 0
     for chrom in gi.graph.nodes:
         for n in gi.graph.nodes[chrom]:
-            if n.is_variant and n.kmer_hashes:
+            if n.is_variant and len(n.kmer_hashes):
                 assert len(n.local_bits) == len(n.kmer_hashes)
                 some += 1
     assert some > 0

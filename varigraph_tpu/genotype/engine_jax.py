@@ -249,6 +249,18 @@ def _transition_logs(dist: np.ndarray, nhap: int):
         )
 
 
+def _csr_flat(off: np.ndarray, node_idx: np.ndarray) -> np.ndarray:
+    """Flat row indices of the CSR segments for the given nodes, in node
+    order: concat(arange(off[i], off[i+1]) for i in node_idx), vectorized."""
+    lens = off[node_idx + 1] - off[node_idx]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    cum0 = np.zeros(len(node_idx), np.int64)
+    np.cumsum(lens[:-1], out=cum0[1:])
+    return np.repeat(off[node_idx] - cum0, lens) + np.arange(total, dtype=np.int64)
+
+
 class _WindowPrep:
     """Host-side gather of one window's tensors.
 
@@ -264,12 +276,11 @@ class _WindowPrep:
 
         gt_len = gi.graph.gt_len[chrom]
         variant_idx = np.arange(lo, hi, dtype=np.int64)[gt_len[lo:hi] > 1]
-        idx_list = [
-            nodes[i].table_idx
-            for i in variant_idx
-            if nodes[i].table_idx is not None
-        ]
-        counts = window_hap_counts(idx_list, cov_u8, freq_np, hap_words, nhap)
+        tbl_off, tbl_idx, tbl_lp = gi.graph.tbl_csr[chrom]
+        counts = window_hap_counts(
+            [tbl_idx[_csr_flat(tbl_off, variant_idx)]],
+            cov_u8, freq_np, hap_words, nhap,
+        )
         haploid_num = min(cfg.haploid_num, nhap)
         self.top_hap, self.score_map = dirichlet_top_haps(counts, haploid_num, rng)
         self.states = increment_vector(
@@ -331,23 +342,14 @@ class _WindowPrep:
         self.G_nu = gi.graph.gt_submatrix(chrom, cand, self.used_haps)
         self.gt0_u = self.G_nu == 0
 
-        # flat gather across all nodes of the window (no per-node numpy calls)
-        lens = np.array(
-            [0 if nd.table_idx is None else len(nd.table_idx)
-             for nd in self.node_refs],
-            np.int64,
-        )
+        # flat gather across all nodes of the window: slice the resolved
+        # per-chromosome CSR (no per-node numpy calls or concatenations)
+        lens = tbl_off[cand + 1] - tbl_off[cand]
         if lens.sum() > 0:
-            flat_idx = np.concatenate(
-                [np.asarray(nd.table_idx, np.int64)
-                 for nd in self.node_refs if nd.table_idx is not None
-                 and len(nd.table_idx)]
-            )
+            flat_rows = _csr_flat(tbl_off, cand)
+            flat_idx = tbl_idx[flat_rows]
             node_of = np.repeat(np.arange(n, dtype=np.int64), lens)
-            all_local = np.concatenate(
-                [nd.local_packed for nd in self.node_refs
-                 if nd.table_idx is not None and len(nd.table_idx)]
-            )
+            all_local = tbl_lp[flat_rows]
             from ..ops.table import unpack_hapbits
 
             rows_flat = unpack_hapbits(hap_words[flat_idx], nhap)

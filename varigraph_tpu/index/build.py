@@ -451,7 +451,7 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     ) if len(g_cid) else np.empty(0, np.int64)
     if kmer_counts.sum() == 0:
         for _, _, node in tasks:
-            node.kmer_hashes = []
+            node.kmer_hashes = np.empty(0, np.uint64)
             node.local_bits = np.zeros((0, nbytes), np.uint8)
         return (np.empty(0, np.uint64), np.empty(0, np.uint8),
                 np.zeros((0, nbytes), np.uint8), np.empty(0, bool))
@@ -503,8 +503,8 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     node_starts = np.searchsorted(k_task, np.arange(ntasks + 1))
     for task_id, (chrom, node_idx, node) in enumerate(tasks):
         lo, hi = node_starts[task_id], node_starts[task_id + 1]
-        node.kmer_hashes = k_kh[lo:hi].tolist()
-        node.local_bits = k_bits[lo:hi].copy()
+        node.kmer_hashes = k_kh[lo:hi]   # u64 view (graph.build_kmer_csr
+        node.local_bits = k_bits[lo:hi]  # re-homes these per chromosome)
 
     # ---- global merge, closed form ----
     # The reference merges node results sequentially (construct_index.cpp:

@@ -66,6 +66,14 @@ class GenomeGraph:
         self.ends_np: dict[str, np.ndarray] = {}
         self.gt_mat: dict[str, np.ndarray] = {}   # [n, width] u16, 0-padded
         self.gt_len: dict[str, np.ndarray] = {}   # [n] int32
+        # per-chromosome CSR of node k-mer data: raw hashes as produced by
+        # indexing (kmer_csr) and table-resolved <=128-per-node slices
+        # (tbl_csr, built by genotype.engine_np.graph2node).  Node attributes
+        # (kmer_hashes / local_bits / table_idx / local_packed) are views
+        # into these flats; the engines gather windows by slicing offsets
+        # instead of concatenating per-node Python lists (VERDICT r2 item 4).
+        self.kmer_csr: dict[str, tuple] = {}   # (off[n+1], kh u64, lb u8[.,B])
+        self.tbl_csr: dict[str, tuple] = {}    # (off[n+1], idx i64, lp u8[.,B])
 
     def get_or_create(self, chrom: str, start: int) -> Node:
         chrom_map = self._maps.setdefault(chrom, {})
@@ -104,6 +112,35 @@ class GenomeGraph:
             self.ends_np[chrom] = self.starts_np[chrom] + np.fromiter(
                 (len(nd.seqs[0]) for nd in nodes), np.int64, n
             ) - 1
+
+    def build_kmer_csr(self, nbytes: int) -> None:
+        """Collect each node's kmer_hashes/local_bits into one flat array
+        per chromosome and re-home the node attributes as views into it.
+        Callers that already hold the flat layout (serialize.load_graph)
+        fill self.kmer_csr directly instead."""
+        for chrom, nodes in self.nodes.items():
+            n = len(nodes)
+            lens = np.fromiter(
+                (len(nd.kmer_hashes) for nd in nodes), np.int64, n
+            )
+            off = np.zeros(n + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            if off[-1]:
+                kh = np.concatenate(
+                    [np.asarray(nd.kmer_hashes, np.uint64)
+                     for nd, li in zip(nodes, lens) if li]
+                )
+                lb = np.concatenate(
+                    [np.asarray(nd.local_bits, np.uint8).reshape(li, -1)
+                     for nd, li in zip(nodes, lens) if li]
+                )
+            else:
+                kh = np.empty(0, np.uint64)
+                lb = np.zeros((0, nbytes), np.uint8)
+            self.kmer_csr[chrom] = (off, kh, lb)
+            for i, nd in enumerate(nodes):
+                nd.kmer_hashes = kh[off[i]:off[i + 1]]
+                nd.local_bits = lb[off[i]:off[i + 1]]
 
     def gt_submatrix(self, chrom: str, node_idx: np.ndarray,
                      haps) -> np.ndarray:

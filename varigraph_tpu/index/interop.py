@@ -116,9 +116,9 @@ def load_reference_graph_bin(path: str) -> GraphIndex:
                 np.frombuffer(r.bytes_(2 * n_gt), dtype="<u2").astype(int)
             )
             n_km = r.u32()
-            node.kmer_hashes = (
-                np.frombuffer(r.bytes_(8 * n_km), dtype="<u8").tolist()
-            )
+            node.kmer_hashes = np.frombuffer(
+                r.bytes_(8 * n_km), dtype="<u8"
+            ).astype(np.uint64)
             node.local_bits = []
     graph.finalize()
 
@@ -305,7 +305,7 @@ def rebuild_local_bits(gi: GraphIndex) -> None:
         starts = gi.graph.starts[chrom]
         nodes = gi.graph.nodes[chrom]
         for node_idx, node in enumerate(nodes):
-            if not node.is_variant or not node.kmer_hashes:
+            if not node.is_variant or not len(node.kmer_hashes):
                 if node.is_variant:
                     node.local_bits = []
                 continue

@@ -52,10 +52,11 @@ def save_graph(gi: GraphIndex, path: str) -> None:
     node_nkmer: list[int] = []
     seq_lens: list[int] = []
     seq_parts: list[bytes] = []
-    gt_flat: list[int] = []
-    kmer_flat: list[int] = []
-    local_bits_rows: list[list[int]] = []
+    gt_parts: list[np.ndarray] = []
+    kmer_parts: list[np.ndarray] = []
+    local_bits_rows: list[np.ndarray] = []
 
+    nbytes = (gi.nhap + 7) // 8
     for c in chroms:
         for n in gi.graph.nodes[c]:
             node_chrom.append(chrom_of[c])
@@ -66,14 +67,25 @@ def save_graph(gi: GraphIndex, path: str) -> None:
             for s in n.seqs:
                 seq_lens.append(len(s))
                 seq_parts.append(s.encode("ascii"))
-            gt_flat.extend(n.hap_gt)
-            kmer_flat.extend(n.kmer_hashes)
-            local_bits_rows.append(n.local_bits)
+            if len(n.hap_gt):
+                gt_parts.append(np.asarray(n.hap_gt, np.uint16))
+            if len(n.kmer_hashes):
+                kmer_parts.append(np.asarray(n.kmer_hashes, np.uint64))
+                local_bits_rows.append(
+                    np.asarray(n.local_bits, np.uint8).reshape(
+                        len(n.kmer_hashes), -1
+                    )
+                )
 
-    nbytes = (gi.nhap + 7) // 8
-    non_empty = [r for r in local_bits_rows if len(r)]
+    gt_flat = (
+        np.concatenate(gt_parts) if gt_parts else np.empty(0, np.uint16)
+    )
+    kmer_flat = (
+        np.concatenate(kmer_parts) if kmer_parts else np.empty(0, np.uint64)
+    )
     local_bits_arr = (
-        np.vstack(non_empty) if non_empty else np.zeros((0, nbytes), np.uint8)
+        np.concatenate(local_bits_rows)
+        if local_bits_rows else np.zeros((0, nbytes), np.uint8)
     )
 
     # VCF info mirror as a compressed text blob
@@ -109,8 +121,8 @@ def save_graph(gi: GraphIndex, path: str) -> None:
         node_nkmer=np.array(node_nkmer, np.int64),
         seq_lens=np.array(seq_lens, np.int64),
         seq_blob=np.frombuffer(b"".join(seq_parts), np.uint8),
-        gt_flat=np.array(gt_flat, np.uint16),
-        kmer_flat=np.array(kmer_flat, np.uint64),
+        gt_flat=gt_flat,
+        kmer_flat=kmer_flat,
         local_bits=local_bits_arr,
         tbl_keys=gi.table.keys_np(),
         tbl_freq=gi.table.freq_np(),
@@ -175,9 +187,29 @@ def load_graph(path: str) -> GraphIndex:
             si += 1
         node.hap_gt = gt_flat[gt_off[i] : gt_off[i + 1]]  # u16 view; finalize
                                                           # re-homes into gt_mat
-        node.kmer_hashes = kmer_flat[km_off[i] : km_off[i + 1]].tolist()
-        node.local_bits = local_bits_arr[km_off[i] : km_off[i + 1]].copy()
+        node.kmer_hashes = kmer_flat[km_off[i] : km_off[i + 1]]  # u64 view
+        node.local_bits = local_bits_arr[km_off[i] : km_off[i + 1]]
     graph.finalize()
+
+    # per-chromosome k-mer CSR straight from the flat layout (nodes are
+    # saved grouped by chromosome in sorted node order, which is exactly
+    # finalize()'s order) -- no per-node Python or copies at genome scale
+    for ci, chrom in enumerate(chroms):
+        rows = np.flatnonzero(node_chrom == ci)
+        if len(rows):
+            lo, hi = int(rows[0]), int(rows[-1]) + 1
+            base = km_off[lo]
+            graph.kmer_csr[chrom] = (
+                (km_off[lo : hi + 1] - base).astype(np.int64),
+                kmer_flat[base : km_off[hi]],
+                local_bits_arr[base : km_off[hi]],
+            )
+        else:
+            graph.kmer_csr[chrom] = (
+                np.zeros(1, np.int64),
+                np.empty(0, np.uint64),
+                np.zeros((0, nbytes), np.uint8),
+            )
 
     import jax.numpy as jnp
 
