@@ -353,6 +353,40 @@ def _range_add_batch(filt_range: jnp.ndarray, codes: jnp.ndarray,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "m", "width"),
+                   donate_argnums=(0,))
+def _range_add_stack(filt_range: jnp.ndarray, stack: jnp.ndarray,
+                     seeds: jnp.ndarray, c0: jnp.ndarray, k: int, m: int,
+                     width: int) -> jnp.ndarray:
+    """lax.scan of _range_add_batch's body over a [G, B, L] stack of genome
+    code batches -- one dispatch per G batches instead of G dispatches.
+
+    Through the remote-execution tunnel every dispatch costs far more than
+    the ~90 ms of scatter work it carries (measured 2026-08-20: 456
+    one-batch dispatches/pass ran ~2 min enqueue / ~4 min execute per pass
+    at 1 Gbp); fusing G=32 batches per call removes ~97% of that overhead.
+    The body is identical to _range_add_batch (per-batch saturation at 255),
+    so results are bit-identical."""
+    from .kmer import sketch_codes
+
+    def body(fr, codes):
+        values, emit = sketch_codes(codes, k)
+        pos = _positions(values.reshape(-1), seeds, m)    # [kh, Nw]
+        inc = jnp.broadcast_to(
+            emit.reshape(-1).astype(jnp.uint32), pos.shape
+        ).reshape(-1)
+        rel = pos.reshape(-1) - c0.astype(jnp.uint64)
+        idx = jnp.where(rel < jnp.uint64(width), rel,
+                        jnp.uint64(width)).astype(jnp.int32)
+        hist = jnp.zeros((width,), jnp.uint32).at[idx].add(inc, mode="drop")
+        return jnp.minimum(fr.astype(jnp.uint32) + hist, 255).astype(
+            jnp.uint8
+        ), None
+
+    out, _ = jax.lax.scan(body, filt_range, stack)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("m", "width"))
 def _range_min_counts(counts: jnp.ndarray, filt_range: jnp.ndarray,
                       hashes: jnp.ndarray, seeds: jnp.ndarray,
@@ -396,6 +430,8 @@ class PasswiseGenomeCBF:
     """
 
     RANGE_WIDTH = 1 << 30
+    # genome code batches fused per add dispatch (see _range_add_stack)
+    ADD_STACK = 32
     # query hashes are processed in fixed-size blocks: the [kh, Q] position
     # intermediate in _range_min_counts is kh*8 bytes per query, which at a
     # 3 Gbp scale (Q ~ 10^8+, kh ~ 9) would be 10-20 GB materialized at once.
@@ -433,11 +469,21 @@ class PasswiseGenomeCBF:
         counts = [jnp.full(b.shape, 255, jnp.uint8) for b in q_blocks]
         seeds = jnp.asarray(self.seeds)
 
-        # stage the genome's code batches on device once; reused every pass
-        staged = []
+        # stage the genome's code batches on device once (grouped into
+        # fixed [ADD_STACK, B, L] stacks, the tail padded with all-N
+        # batches that emit nothing); reused every pass
+        host_batches = []
         for chrom, seq in self._fasta_map.items():
-            for batch in segment_genome_batches(seq, self._k):
-                staged.append(jnp.asarray(batch))
+            host_batches.extend(segment_genome_batches(seq, self._k))
+        g = self.ADD_STACK
+        n_batches = len(host_batches)
+        staged = []
+        for i in range(0, n_batches, g):
+            grp = host_batches[i:i + g]
+            while len(grp) < g:
+                grp.append(np.full_like(grp[0], 4))
+            staged.append(jnp.asarray(np.stack(grp)))
+        del host_batches
 
         m = self.size
         width = min(self.RANGE_WIDTH, m)
@@ -447,13 +493,14 @@ class PasswiseGenomeCBF:
             from ..utils.log import log
 
             log(f"CBF range pass {ri + 1}/{n_ranges} "
-                f"({len(staged)} genome batches, {len(q_blocks)} query blocks)",
+                f"({n_batches} genome batches in {len(staged)} stacks, "
+                f"{len(q_blocks)} query blocks)",
                 func="PasswiseGenomeCBF")
             filt_range = jnp.zeros((width,), jnp.uint8)
             c0_t = jnp.uint64(c0)
-            for codes in staged:
-                filt_range = _range_add_batch(
-                    filt_range, codes, seeds, c0_t, self._k, m, width
+            for stack in staged:
+                filt_range = _range_add_stack(
+                    filt_range, stack, seeds, c0_t, self._k, m, width
                 )
             for bi, q in enumerate(q_blocks):
                 counts[bi] = _range_min_counts(
