@@ -203,39 +203,40 @@ def test_host_cbf_matches_device_semantics():
     assert (bf.find(hashes[:32]) == (counts > 0)).all()
 
 
-def test_passwise_genome_cbf_matches_hostcbf(monkeypatch):
-    """PasswiseGenomeCBF (range-at-a-time fused build+count, never holding
-    the full filter) must return exactly the counts of an incrementally
-    built filter with the same sizing and seeds."""
-    from varigraph_tpu.ops.cbf import HostCBF, PasswiseGenomeCBF
+def test_exact_genome_counter_matches_brute_force(monkeypatch):
+    """ExactGenomeCounter (one streaming sort-merge pass, the beyond-HBM
+    replacement for the Bloom filter) must return the EXACT multiplicity of
+    every queried k-mer in the genome, capped at 255."""
+    from varigraph_tpu.ops.exact_count import ExactGenomeCounter
     from varigraph_tpu.index.build import segment_genome_batches
     from varigraph_tpu.ops.kmer import sketch_codes
 
     rng = np.random.default_rng(13)
-    seq = "".join(rng.choice(list("ACGT"), size=3000))
+    # a random core plus a 300x-repeated motif to exercise the 255 cap
+    seq = ("".join(rng.choice(list("ACGT"), size=3000))
+           + "ACGTTGCACCGTTGAACGGTTGCACCA" * 300)
     k = 27
     n = len(seq) - k + 1
 
-    ref = HostCBF(n=n, p=0.01, seed=5)
     all_values = []
     for batch in segment_genome_batches(seq, k):
         values, emit = sketch_codes(jnp.asarray(batch), k)
-        ref.add(values, emit)
         v = np.asarray(values).reshape(-1)[np.asarray(emit).reshape(-1)]
         all_values.append(v)
-    queries = np.concatenate([
-        np.unique(np.concatenate(all_values))[:200],
-        rng.integers(1, 1 << 60, size=100, dtype=np.uint64),
-    ])
+    genome_kmers = np.concatenate(all_values)
+    uniq, true_counts = np.unique(genome_kmers, return_counts=True)
 
-    monkeypatch.setattr(PasswiseGenomeCBF, "RANGE_WIDTH", 4096)  # many passes
-    # also exercise the bounded-memory query chunking: 300 queries with a
-    # 64-query block forces 5 blocks, incl. a padded tail
-    monkeypatch.setattr(PasswiseGenomeCBF, "QUERY_BLOCK", 64)
-    pw = PasswiseGenomeCBF({"chr1": seq}, n=n, k=k, p=0.01, seed=5)
-    assert pw.size == ref.size and (pw.seeds == ref.seeds).all()
-    got = pw.count(queries)
-    want = ref.count(queries)
-    assert (got == want).all()
-    assert (got[:200] >= 1).all()  # genome k-mers present
-    assert abs(pw.occupancy() - ref.occupancy()) < 1e-12
+    present = uniq[rng.permutation(len(uniq))[:200]]
+    absent = rng.integers(1, 1 << 60, size=100, dtype=np.uint64) << np.uint64(8)
+    queries = np.concatenate([present, absent, present[:7]])  # incl. dups
+
+    monkeypatch.setattr(ExactGenomeCounter, "ADD_STACK", 2)  # many joins
+    ec = ExactGenomeCounter({"chr1": seq}, n=n, k=k, p=0.01, seed=5)
+    got = ec.count(queries)
+    want = np.minimum(true_counts[np.searchsorted(uniq, present)], 255)
+    assert (got[:200] == want).all()
+    assert (got[200:300] == 0).all()
+    assert (got[300:] == want[:7]).all()  # duplicate queries answered alike
+    assert (want == 255).any()  # the cap was actually exercised
+    assert (ec.find(queries[:200]) == (got[:200] > 0)).all()
+    assert 0 < ec.occupancy() <= 1

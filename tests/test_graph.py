@@ -53,7 +53,7 @@ def test_build_graph_basic():
     assert extra == 1 + 4
     # vcf mirror keeps normalized GT strings
     assert vcf_info["chr1"][5][:5] == ["chr1", "5", ".", "A", "T"]
-    assert vcf_info["chr1"][5][9] == "0|1"
+    assert vcf_info["chr1"][5][9] == "0|1"  # all sample GTs, tab-joined
     assert "##FORMAT=<ID=GT" in head and "#CHROM" in head
 
 
@@ -70,7 +70,8 @@ def test_build_graph_skips_duplicates_and_unsorted(capsys):
     assert len(variant_nodes) == 1
     assert variant_nodes[0].seqs == ["A", "T"]
     # the vcf mirror appends columns even for skipped records (reference
-    # behavior: vcf_construct runs before the skip checks)
+    # behavior: vcf_construct runs before the skip checks); each record adds
+    # 9 fixed columns + one tab-joined sample-GT element
     assert len(vcf_info["chr1"][5]) == 20
     # stats counted all three records
     assert stats.snp == 3

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import collections
 import functools
+import os
 from concurrent.futures import ThreadPoolExecutor
 
 import jax
@@ -29,7 +30,7 @@ import numpy as np
 
 from ..io.fastq import stream_packed_batches_multi
 from ..ops.kmer import sketch_packed
-from ..ops.table import KmerTable, count_merge
+from ..ops.table import _SENTINEL, KmerTable, count_merge, count_merge_super
 from ..utils.log import log
 
 
@@ -82,6 +83,49 @@ _N_ACCUMULATORS = 3  # round-robin coverage buffers so group n+1's join can
                      # start while group n's is still in flight
 _FUSE = 4            # host batches stacked per H2D upload / device dispatch
 _UPLOAD_DEPTH = 3    # uploads in flight ahead of the consumer
+
+# ---- large-table regime -------------------------------------------------
+# Above this many table keys the per-batch joins stop making sense: the
+# Pallas banded join's M/128-block grid wanted 41.9 GB of HBM to compile at
+# a 29M-key table (round-3 1 Gbp rehearsal) and hits a TPU backend error at
+# 4M keys (tools/join_probe7.py), and the two-sort join pays the full M-key
+# concat+sort every batch.  The superbatch path instead stashes sketched
+# queries in an HBM buffer and joins once per _SUPER_ROWS sub-batches
+# (ops/table.count_merge_super), amortizing the table term.  Measured on
+# v5e (join_probe7): banded 17.9 ms/batch at 1M keys; superbatch ~26 ms
+# flat at 1-4M and 43.6 ms at 29M (50M k-mers/s device-side).
+_BANDED_MAX_KEYS = int(os.environ.get("VARIGRAPH_BANDED_MAX_KEYS",
+                                      str(2 << 20)))
+_SUPER_ROWS = 24     # sub-batches per super-join; must be a multiple of _FUSE
+
+
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+def _sketch_to_rows(buf: jnp.ndarray, packed_f: jnp.ndarray,
+                    slot0: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Sketch F stacked packed sub-batches and stash their sentinelized flat
+    values into buf rows [slot0, slot0+F).  Pad sub-batches (valid length 0)
+    produce all-sentinel rows, so tail groups stay correct."""
+
+    def body(carry, packed):
+        b, slot = carry
+        values, emit = sketch_packed(packed, k)
+        values, emit = values[..., k - 1:], emit[..., k - 1:]
+        row = jnp.where(emit, values, _SENTINEL).reshape(-1)
+        b = jax.lax.dynamic_update_slice(b, row[None], (slot, jnp.int32(0)))
+        return (b, slot + 1), None
+
+    (buf, _), _ = jax.lax.scan(body, (buf, jnp.int32(slot0)), packed_f)
+    return buf
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _join_rows(cov: jnp.ndarray, keys: jnp.ndarray, buf: jnp.ndarray,
+               nrows: jnp.ndarray) -> jnp.ndarray:
+    """Join buf rows [0, nrows) against the table (rows beyond nrows are
+    stale from the previous super-group and masked out)."""
+    valid = jnp.arange(buf.shape[0], dtype=jnp.int32) < nrows
+    vals = jnp.where(valid[:, None], buf, _SENTINEL).reshape(-1)
+    return count_merge_super(cov, keys, vals)
 
 
 def _fused_groups(batch_iter, fuse: int):
@@ -143,6 +187,23 @@ def count_reads(
     for path in fastq_files:
         log(f"Collecting kmers from read on device: {path}", func="count_reads")
 
+    # large-table regime: stash sketched queries into HBM buffers, join once
+    # per _SUPER_ROWS sub-batches (see _BANDED_MAX_KEYS above).  Two buffers
+    # round-robin so the next super-group's stashes overlap the in-flight
+    # join that still reads the previous buffer.
+    big_table = mesh_step is None and table.size > _BANDED_MAX_KEYS
+    bufs: list = []
+    buf_i = 0
+    filled = 0  # sub-batch rows stashed into the current buffer
+    if big_table:
+        nq = batch_size * (max_len - k + 1)
+        bufs = [jnp.full((_SUPER_ROWS, nq), _SENTINEL, jnp.uint64)
+                for _ in range(2)]
+        log(f"large-table counting: {table.size / 1e6:.1f}M keys, "
+            f"super-join every {_SUPER_ROWS} batches "
+            f"({_SUPER_ROWS * nq / 1e6:.0f}M query slots)",
+            func="count_reads")
+
     accs = [table.cov] + [
         jnp.zeros_like(table.cov) for _ in range(_N_ACCUMULATORS - 1)
     ]
@@ -155,13 +216,22 @@ def count_reads(
     inflight: collections.deque = collections.deque()
 
     def drain_one():
-        nonlocal read_base, ngroups, nbatches
+        nonlocal read_base, ngroups, nbatches, buf_i, filled
         fut, gb, n_real = inflight.popleft()
         dev = fut.result()
         slot = ngroups % _N_ACCUMULATORS
         if mesh_step is not None:
             for j in range(n_real):
                 accs[slot] = mesh_step(accs[slot], table.keys, dev[j])
+        elif big_table:
+            bufs[buf_i] = _sketch_to_rows(bufs[buf_i], dev,
+                                          jnp.int32(filled), k)
+            filled += dev.shape[0]
+            if filled >= _SUPER_ROWS:
+                accs[0] = _join_rows(accs[0], table.keys, bufs[buf_i],
+                                     jnp.int32(filled))
+                buf_i = 1 - buf_i
+                filled = 0
         else:
             accs[slot] = _count_fused(accs[slot], table.keys, dev, k)
         read_base += gb
@@ -179,6 +249,9 @@ def count_reads(
                 drain_one()
         while inflight:
             drain_one()
+        if big_table and filled:
+            accs[0] = _join_rows(accs[0], table.keys, bufs[buf_i],
+                                 jnp.int32(filled))
     finally:
         pool.shutdown(wait=False)
 

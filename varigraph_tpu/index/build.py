@@ -119,7 +119,7 @@ def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
     import jax
 
     log("Initiating computation of k-mer frequencies in the reference genome ...")
-    from ..ops.cbf import PasswiseGenomeCBF, ShardedCBF, cbf_size
+    from ..ops.cbf import ShardedCBF, cbf_size
 
     n = genome_size - k + 1
     m_est = 1
@@ -131,16 +131,17 @@ def make_genome_cbf(fasta_map: dict[str, str], genome_size: int, k: int,
         log(f"Counting Bloom Filter sharded across {n_dev} devices "
             f"({m_est / 2**30:.1f} GiB of counters)")
     elif m_est > _CBF_DEVICE_MAX:
-        # single chip, filter beyond HBM: pass-wise fused build+count --
-        # the filter only ever exists as transient device ranges; the adds
-        # happen inside bf.count() during graph indexing
-        bf = PasswiseGenomeCBF(fasta_map, n=n, k=k, p=0.01, seed=seed)
-        log(f"Counting Bloom Filter built pass-wise in "
-            f"{-(-bf.size // bf.RANGE_WIDTH)} device ranges "
-            f"({bf.size / 2**30:.1f} GiB of counters exceeds the single-chip "
-            f"HBM budget)")
-        log(f"Counting Bloom Filter size: {bf.size}")
-        log(f"Hash functions count: {bf.num_hashes}")
+        # single chip, filter beyond HBM: skip the Bloom filter entirely and
+        # count the graph's candidate k-mers EXACTLY with one streaming
+        # sort-merge pass of the genome (ops/exact_count.py) -- strictly
+        # more accurate than the reference's ~1%-false-positive filter, and
+        # ~10x faster than the former 9-range-pass transient filter
+        from ..ops.exact_count import ExactGenomeCounter
+
+        bf = ExactGenomeCounter(fasta_map, n=n, k=k, p=0.01, seed=seed)
+        log(f"Genome k-mer frequencies will be counted exactly by streaming "
+            f"sort-merge join (a Bloom filter at this scale would need "
+            f"{m_est / 2**30:.1f} GiB of counters; exact counts need none)")
         return bf
     else:
         bf = CountingBloomFilter(n=n, p=0.01, seed=seed)
@@ -422,17 +423,40 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     tasks, contexts, groups = walked
     g_task, g_cid, g_bits, g_alt, g_h0 = groups
 
-    # ---- device sketch + CBF counts ----
+    # ---- device sketch + genome-frequency counts ----
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _step(label):
+        nonlocal _t0
+        t = _time.time()
+        log(f"aggregation: {label} ({t - _t0:.1f}s)", func="index_graph")
+        _t0 = t
+
     uniq_ctx_kmers = _sketch_contexts(contexts, k)
+    # CSR view over the per-context unique-k-mer arrays (all_kmers is the
+    # flat concatenation in context order; ctx_starts its offsets)
+    ctx_len = np.fromiter(
+        (len(a) for a in uniq_ctx_kmers), np.int64, len(uniq_ctx_kmers)
+    ) if uniq_ctx_kmers else np.empty(0, np.int64)
+    ctx_starts = np.zeros(len(ctx_len) + 1, np.int64)
+    np.cumsum(ctx_len, out=ctx_starts[1:])
     all_kmers = (
         np.concatenate([c for c in uniq_ctx_kmers if len(c)])
-        if any(len(c) for c in uniq_ctx_kmers)
+        if ctx_starts[-1]
         else np.empty(0, np.uint64)
     )
-    uniq_kmers = (
-        np.unique(all_kmers) if len(all_kmers) else np.empty(0, np.uint64)
-    )
+    # return_inverse replaces the former 60-s+ searchsorted of every entry:
+    # frequencies land context-aligned for free out of the dedup sort
+    if len(all_kmers):
+        uniq_kmers, inverse = np.unique(all_kmers, return_inverse=True)
+    else:
+        uniq_kmers, inverse = np.empty(0, np.uint64), np.empty(0, np.int64)
+    _step(f"context sketch + dedup ({len(uniq_kmers) / 1e6:.1f}M uniq k-mers)")
     uniq_counts = bf.count(uniq_kmers) if len(uniq_kmers) else np.empty(0, np.uint8)
+    ctx_fre = uniq_counts[inverse].astype(np.int64)  # aligned with all_kmers
+    _step("genome k-mer frequencies")
 
     # ---- vectorized per-node aggregation + global merge ----
     # The walk already collapsed haplotypes into (task, walk-result) groups
@@ -446,30 +470,40 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
         fixed[:, :w] = g_bits[:, :w]
         g_bits = fixed
 
-    kmer_counts = np.fromiter(
-        (len(uniq_ctx_kmers[c]) for c in g_cid), np.int64, len(g_cid)
-    ) if len(g_cid) else np.empty(0, np.int64)
-    if kmer_counts.sum() == 0:
+    glen = ctx_len[g_cid] if len(g_cid) else np.empty(0, np.int64)
+    if glen.sum() == 0:
         for _, _, node in tasks:
             node.kmer_hashes = np.empty(0, np.uint64)
             node.local_bits = np.zeros((0, nbytes), np.uint8)
         return (np.empty(0, np.uint64), np.empty(0, np.uint8),
                 np.zeros((0, nbytes), np.uint8), np.empty(0, bool))
-    e_task = np.repeat(g_task, kmer_counts)
-    e_gidx = np.repeat(np.arange(len(g_task), dtype=np.int64), kmer_counts)
-    e_kh = np.concatenate(
-        [uniq_ctx_kmers[c] for c, n in zip(g_cid, kmer_counts) if n]
+    # expand each group's context k-mer range (vectorized CSR expansion: no
+    # million-array concatenate, no per-entry searchsorted)
+    e_task = np.repeat(g_task, glen)
+    e_gidx = np.repeat(np.arange(len(g_task), dtype=np.int64), glen)
+    gcum = np.zeros(len(glen), np.int64)
+    np.cumsum(glen[:-1], out=gcum[1:])
+    e_ofs = np.repeat(ctx_starts[g_cid] - gcum, glen) + np.arange(
+        int(glen.sum()), dtype=np.int64
     )
-    e_fre = uniq_counts[np.searchsorted(uniq_kmers, e_kh)].astype(np.int64)
+    e_kh = all_kmers[e_ofs]
+    e_fre = ctx_fre[e_ofs]
+    del e_ofs
+    _step(f"entry expansion (E={len(e_kh) / 1e6:.1f}M)")
 
-    # sort entries by (task, kmer); group = unique (task, kmer) pair
-    order = np.lexsort((e_kh, e_task))
+    # ONE k-mer-major sort: pairs = unique (kmer, task) runs, AND the kept
+    # subset comes out already hash-sorted, so the global merge below needs
+    # no second 64-bit sort (the former task-major formulation paid a full
+    # extra argsort over the kept entries)
+    order = np.lexsort((e_task, e_kh))
     e_task, e_kh, e_gidx, e_fre = (
         e_task[order], e_kh[order], e_gidx[order], e_fre[order]
     )
+    del order
+    _step("(kmer, task) lexsort")
     new_pair = np.empty(len(e_kh), bool)
     new_pair[0] = True
-    new_pair[1:] = (e_task[1:] != e_task[:-1]) | (e_kh[1:] != e_kh[:-1])
+    new_pair[1:] = (e_kh[1:] != e_kh[:-1]) | (e_task[1:] != e_task[:-1])
     starts = np.flatnonzero(new_pair)
 
     # per-pair haplotype bitmask: OR of the context groups' bit rows
@@ -482,8 +516,9 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     has_alt = np.logical_or.reduceat(g_alt[e_gidx], starts)
     has_hap0 = np.logical_or.reduceat(g_h0[e_gidx], starts)
     pair_flag = has_alt & (pair_fre >= 1) & ~has_hap0
+    _step(f"pair reduction (P={len(pair_kh) / 1e6:.1f}M)")
 
-    # per-task minimum CBF frequency -> keep rule
+    # per-task minimum genome frequency -> keep rule
     ntasks = len(tasks)
     minfre = np.full(ntasks, 255, np.int64)
     np.minimum.at(minfre, pair_task, pair_fre)
@@ -494,45 +529,50 @@ def index_graph(graph: GenomeGraph, bf: CountingBloomFilter, k: int,
     kept_mask = pair_fre <= minfre[pair_task]
 
     k_task = pair_task[kept_mask]
-    k_kh = pair_kh[kept_mask]
+    k_kh = pair_kh[kept_mask]    # still k-mer-major sorted
     k_bits = pair_bits[kept_mask]
     k_flag = pair_flag[kept_mask]
     k_fre = pair_fre[kept_mask]
+    _step(f"keep rule (K={len(k_kh) / 1e6:.1f}M)")
 
-    # write per-node kept k-mers (already sorted by hash within each task)
-    node_starts = np.searchsorted(k_task, np.arange(ntasks + 1))
-    for task_id, (chrom, node_idx, node) in enumerate(tasks):
-        lo, hi = node_starts[task_id], node_starts[task_id + 1]
-        node.kmer_hashes = k_kh[lo:hi]   # u64 view (graph.build_kmer_csr
-        node.local_bits = k_bits[lo:hi]  # re-homes these per chromosome)
-
-    # ---- global merge, closed form ----
+    # ---- global merge, closed form (input already hash-sorted) ----
     # The reference merges node results sequentially (construct_index.cpp:
     # 637-690): f increments once per node (saturating at 255), and right
     # after a k-mer's FIRST node the CBF frequency >= 2 is folded in while
-    # f == 1 (:670-681).  For a k-mer in n nodes with CBF count c this
+    # f == 1 (:670-681).  For a k-mer in n nodes with genome count c this
     # yields exactly f = min(255, (c if c >= 2 else 1) + n - 1).
-    korder = np.argsort(k_kh, kind="stable")
-    s_kh = k_kh[korder]
-    s_bits = k_bits[korder]
-    s_flag = k_flag[korder]
-    s_fre = k_fre[korder]
-    kfirst = np.empty(len(s_kh), bool)
-    if len(s_kh):
+    kfirst = np.empty(len(k_kh), bool)
+    if len(k_kh):
         kfirst[0] = True
-        kfirst[1:] = s_kh[1:] != s_kh[:-1]
+        kfirst[1:] = k_kh[1:] != k_kh[:-1]
     kstarts = np.flatnonzero(kfirst)
-    g_kh = s_kh[kstarts]
-    g_n = np.diff(np.append(kstarts, len(s_kh)))
-    g_fre = s_fre[kstarts]  # CBF count, identical across a k-mer's nodes
-    g_bits = np.bitwise_or.reduceat(s_bits, kstarts, axis=0)
-    g_flag = np.logical_or.reduceat(s_flag, kstarts)
+    g_kh = k_kh[kstarts]
+    g_n = np.diff(np.append(kstarts, len(k_kh)))
+    g_fre = k_fre[kstarts]  # genome count, identical across a k-mer's nodes
+    gm_bits = np.bitwise_or.reduceat(k_bits, kstarts, axis=0)
+    g_flag = np.logical_or.reduceat(k_flag, kstarts)
     base = np.where(g_fre >= 2, g_fre, 1)
     g_f = np.minimum(base + g_n - 1, 255)
+    _step(f"global merge (M={len(g_kh) / 1e6:.1f}M)")
+
+    # write per-node kept k-mers: a stable integer argsort of the task ids
+    # restores task-major order while preserving the hash order within each
+    # task (the reference keeps node k-mer lists hash-ordered implicitly via
+    # its per-node sets)
+    norder = np.argsort(k_task, kind="stable")
+    k_task = k_task[norder]
+    node_starts = np.searchsorted(k_task, np.arange(ntasks + 1))
+    nk_kh = k_kh[norder]
+    nk_bits = k_bits[norder]
+    for task_id, (chrom, node_idx, node) in enumerate(tasks):
+        lo, hi = node_starts[task_id], node_starts[task_id + 1]
+        node.kmer_hashes = nk_kh[lo:hi]   # u64 view (graph.build_kmer_csr
+        node.local_bits = nk_bits[lo:hi]  # re-homes these per chromosome)
+    _step("per-node assignment")
 
     # hap bitmaps stay packed ([M, nbytes] u8) all the way into the device
     # table -- no [M, nhap] matrix is ever materialized
-    return g_kh, g_f.astype(np.uint8), g_bits, g_flag
+    return g_kh, g_f.astype(np.uint8), gm_bits, g_flag
 
 
 def build_kmer_table(arrays, nhap: int) -> KmerTable:

@@ -88,7 +88,11 @@ def load_reference_graph_bin(path: str) -> GraphIndex:
         for _ in range(nstart):
             start = r.u32()
             ninfo = r.u32()
-            smap[start] = [r.str_(r.u32()) for _ in range(ninfo)]
+            cols = [r.str_(r.u32()) for _ in range(ninfo)]
+            # compact mirror convention (index/graph.py): fold everything
+            # past the 9 fixed columns into one tab-joined element
+            smap[start] = (cols[:9] + ["\t".join(cols[9:])]
+                           if len(cols) > 9 else cols)
         vcf_info[chrom] = smap
 
     # ---- haplotype registry ----
@@ -210,7 +214,12 @@ def save_reference_graph_bin(gi: GraphIndex, path: str) -> None:
         smap = gi.vcf_info[chrom]
         w.write(struct.pack("<I", len(smap)))
         for start in sorted(smap.keys()):
-            infos = smap[start]
+            # expand the compact mirror (per-sample GTs tab-joined into one
+            # element, index/graph.py) back to the reference's one string
+            # per column
+            infos = []
+            for e in smap[start]:
+                infos.extend(e.split("\t")) if e else infos.append(e)
             w.write(struct.pack("<II", start, len(infos)))
             for info in infos:
                 ib = info.encode("utf-8")

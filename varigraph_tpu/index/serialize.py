@@ -20,7 +20,7 @@ import numpy as np
 
 from ..ops.table import KmerTable, pack_hapbits, unpack_hapbits
 from ..utils.log import log
-from .graph import GenomeGraph, Node, VariantStats
+from .graph import GenomeGraph, Node, RefSpan, VariantStats
 from .structs import GraphIndex
 
 _MAGIC = "varigraph-tpu-graph"
@@ -159,7 +159,13 @@ def load_graph(path: str) -> GraphIndex:
         for line in blob.split("\n"):
             parts = line.split("\t")
             c, start = parts[0], int(parts[1])
-            vcf_info.setdefault(c, {})[start] = parts[2:]
+            # compact convention (index/graph.py): 9 fixed columns as
+            # elements, all remaining fields folded into one tab-joined
+            # element -- consumers re-split on tabs where needed
+            vcf_info.setdefault(c, {})[start] = (
+                parts[2:11] + ["\t".join(parts[11:])]
+                if len(parts) > 11 else parts[2:]
+            )
 
     graph = GenomeGraph()
     node_chrom = z["node_chrom"]
@@ -181,8 +187,11 @@ def load_graph(path: str) -> GraphIndex:
         chrom = chroms[node_chrom[i]]
         node = graph.get_or_create(chrom, int(node_start[i]))
         for _ in range(int(node_nseq[i])):
+            # lazy views into the shared blob: the genotype phase only ever
+            # reads sequence LENGTHS, so no per-node str is materialized
+            # (~the whole genome of filler text at 1 Gbp scale)
             node.seqs.append(
-                seq_blob[seq_off[si] : seq_off[si + 1]].decode("ascii")
+                RefSpan(seq_blob, int(seq_off[si]), int(seq_off[si + 1]))
             )
             si += 1
         node.hap_gt = gt_flat[gt_off[i] : gt_off[i + 1]]  # u16 view; finalize

@@ -66,8 +66,9 @@ def _positions(hashes: jnp.ndarray, seeds: jnp.ndarray, m: int) -> jnp.ndarray:
 #   m <= 2^31: still ONE full-size scatter histogram (8 GiB; the scatter
 #     index fits int32) but the saturating combine walks [_ADD_CHUNK]-row
 #     slices in place -- the full-array u32 combine would need ~20 GiB.
-#   m >= 2^32: single-chip runs use PasswiseGenomeCBF (wired in
-#     index/build.make_genome_cbf); multi-chip runs use ShardedCBF.  (HostCBF
+#   m >= 2^32: single-chip runs skip the filter and count exactly
+#     (ops/exact_count.ExactGenomeCounter, wired in index/build.
+#     make_genome_cbf); multi-chip runs use ShardedCBF.  (HostCBF
 #     is a host-RAM oracle kept for tests only.)  XLA TPU rejects
 #     gathers/updates whose 1-D index
 #     space exceeds 32 bits, and the per-chunk re-scatter fallback below
@@ -261,10 +262,9 @@ class CountingBloomFilter:
 
 class HostCBF:
     """Host-RAM counting Bloom filter — a test/verification oracle, NOT wired
-    into production (index/build.make_genome_cbf uses PasswiseGenomeCBF for
-    beyond-HBM filters; multi-chip runs use ShardedCBF).  Kept because its
-    u8 counter array is directly inspectable, which the pass-wise filter's
-    transient ranges are not.
+    into production (index/build.make_genome_cbf counts exactly via
+    ops/exact_count for beyond-HBM filters; multi-chip runs use ShardedCBF).
+    Kept because its u8 counter array is directly inspectable.
 
     Hash positions are still computed on device (vectorized Murmur3);
     the saturating update runs on host as a sort + run-length + vectorized
@@ -326,196 +326,6 @@ class HostCBF:
             seeds=self.seeds,
             filter=self.filter,
         )
-
-
-@functools.partial(jax.jit, static_argnames=("k", "m", "width"),
-                   donate_argnums=(0,))
-def _range_add_batch(filt_range: jnp.ndarray, codes: jnp.ndarray,
-                     seeds: jnp.ndarray, c0: jnp.ndarray, k: int, m: int,
-                     width: int) -> jnp.ndarray:
-    """Fused genome-batch -> CBF-range update: sketch the [B, L] code batch,
-    hash to filter positions, histogram the positions inside [c0, c0+width),
-    saturating-add into the resident range.  c0 is traced (one compile for
-    all passes)."""
-    from .kmer import sketch_codes
-
-    values, emit = sketch_codes(codes, k)
-    pos = _positions(values.reshape(-1), seeds, m)        # [kh, Nw]
-    inc = jnp.broadcast_to(
-        emit.reshape(-1).astype(jnp.uint32), pos.shape
-    ).reshape(-1)
-    rel = pos.reshape(-1) - c0.astype(jnp.uint64)
-    idx = jnp.where(rel < jnp.uint64(width), rel,
-                    jnp.uint64(width)).astype(jnp.int32)
-    hist = jnp.zeros((width,), jnp.uint32).at[idx].add(inc, mode="drop")
-    return jnp.minimum(filt_range.astype(jnp.uint32) + hist, 255).astype(
-        jnp.uint8
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("k", "m", "width"),
-                   donate_argnums=(0,))
-def _range_add_stack(filt_range: jnp.ndarray, stack: jnp.ndarray,
-                     seeds: jnp.ndarray, c0: jnp.ndarray, k: int, m: int,
-                     width: int) -> jnp.ndarray:
-    """lax.scan of _range_add_batch's body over a [G, B, L] stack of genome
-    code batches -- one dispatch per G batches instead of G dispatches.
-
-    Through the remote-execution tunnel every dispatch costs far more than
-    the ~90 ms of scatter work it carries (measured 2026-08-20: 456
-    one-batch dispatches/pass ran ~2 min enqueue / ~4 min execute per pass
-    at 1 Gbp); fusing G=32 batches per call removes ~97% of that overhead.
-    The body is identical to _range_add_batch (per-batch saturation at 255),
-    so results are bit-identical."""
-    from .kmer import sketch_codes
-
-    def body(fr, codes):
-        values, emit = sketch_codes(codes, k)
-        pos = _positions(values.reshape(-1), seeds, m)    # [kh, Nw]
-        inc = jnp.broadcast_to(
-            emit.reshape(-1).astype(jnp.uint32), pos.shape
-        ).reshape(-1)
-        rel = pos.reshape(-1) - c0.astype(jnp.uint64)
-        idx = jnp.where(rel < jnp.uint64(width), rel,
-                        jnp.uint64(width)).astype(jnp.int32)
-        hist = jnp.zeros((width,), jnp.uint32).at[idx].add(inc, mode="drop")
-        return jnp.minimum(fr.astype(jnp.uint32) + hist, 255).astype(
-            jnp.uint8
-        ), None
-
-    out, _ = jax.lax.scan(body, filt_range, stack)
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=("m", "width"))
-def _range_min_counts(counts: jnp.ndarray, filt_range: jnp.ndarray,
-                      hashes: jnp.ndarray, seeds: jnp.ndarray,
-                      c0: jnp.ndarray, m: int, width: int) -> jnp.ndarray:
-    """counts = min(counts, filter value) for every query hash whose position
-    falls inside the resident range (out-of-range contributes 255)."""
-    pos = _positions(hashes, seeds, m)                    # [kh, Q]
-    rel = pos - c0.astype(jnp.uint64)
-    inr = rel < jnp.uint64(width)
-    idx = jnp.where(inr, rel, jnp.uint64(0)).astype(jnp.int32)
-    vals = jnp.where(inr, filt_range[idx], jnp.uint8(255))
-    return jnp.minimum(counts, jnp.min(vals, axis=0))
-
-
-@functools.partial(jax.jit, static_argnames=("width",))
-def _range_nonzero(filt_range: jnp.ndarray, width: int) -> jnp.ndarray:
-    total = jnp.uint32(0)
-    for c0 in range(0, width, _ADD_CHUNK):
-        w = min(_ADD_CHUNK, width - c0)
-        chunk = jax.lax.dynamic_slice(filt_range, (c0,), (w,))
-        total = total + jnp.sum(chunk > 0, dtype=jnp.uint32)
-    return total
-
-
-class PasswiseGenomeCBF:
-    """Genome CBF for filters beyond one chip's HBM, built and queried in
-    position-range PASSES that never materialize the whole filter anywhere.
-
-    The filter exists only as a transient [range_width] device array: pass r
-    re-scans the (device-staged) genome code batches, scatter-adds the
-    positions landing in range r, takes the min over that range for every
-    query k-mer, and drops the range.  Total data movement is one genome
-    upload plus one [Q] u8 count download -- vs ~kh * 8 bytes per genome
-    k-mer of host round-trips for a host-resident filter (measured ~18
-    s/batch through the remote tunnel).  Sizing matches HostCBF (exact m,
-    modulo addressing).
-
-    This trades R = ceil(m / range_width) genome re-sketches for the memory:
-    sketch + Murmur are a few ms/batch on the VPU, so even a 3 Gbp genome
-    (m = 2^35, 27 passes) costs minutes, not hours.
-    """
-
-    RANGE_WIDTH = 1 << 30
-    # genome code batches fused per add dispatch (see _range_add_stack)
-    ADD_STACK = 32
-    # query hashes are processed in fixed-size blocks: the [kh, Q] position
-    # intermediate in _range_min_counts is kh*8 bytes per query, which at a
-    # 3 Gbp scale (Q ~ 10^8+, kh ~ 9) would be 10-20 GB materialized at once.
-    # 2^22 queries/block bounds it at ~300 MB regardless of Q.
-    QUERY_BLOCK = 1 << 22
-
-    def __init__(self, fasta_map: dict[str, str], n: int, k: int,
-                 p: float = 0.01, seed: int = 0):
-        self.size = cbf_size(n, p)
-        self.num_hashes = cbf_num_hashes(n, self.size)
-        self.seeds = make_seeds(self.num_hashes, seed)
-        self._fasta_map = fasta_map
-        self._k = k
-        self._nonzero = None  # filled by count()
-
-    def count(self, hashes) -> np.ndarray:
-        """Build all ranges and return min-counts for the query hashes.
-
-        NOTE: every call re-builds all filter ranges from the genome (the
-        filter is never materialized whole); batch all queries into ONE
-        call, as index_graph does."""
-        from ..index.build import segment_genome_batches
-
-        hashes = np.asarray(hashes, dtype=np.uint64).reshape(-1)
-        nreal = len(hashes)
-        qb = self.QUERY_BLOCK
-        if nreal <= qb:
-            hp, _, _ = CountingBloomFilter._pad_pow2(hashes, None)
-            host_blocks = [hp]
-        else:
-            pad = (-nreal) % qb
-            hp = np.concatenate([hashes, np.zeros(pad, np.uint64)])
-            host_blocks = [hp[i:i + qb] for i in range(0, len(hp), qb)]
-        q_blocks = [jnp.asarray(b) for b in host_blocks]
-        counts = [jnp.full(b.shape, 255, jnp.uint8) for b in q_blocks]
-        seeds = jnp.asarray(self.seeds)
-
-        # stage the genome's code batches on device once (grouped into
-        # fixed [ADD_STACK, B, L] stacks, the tail padded with all-N
-        # batches that emit nothing); reused every pass
-        host_batches = []
-        for chrom, seq in self._fasta_map.items():
-            host_batches.extend(segment_genome_batches(seq, self._k))
-        g = self.ADD_STACK
-        n_batches = len(host_batches)
-        staged = []
-        for i in range(0, n_batches, g):
-            grp = host_batches[i:i + g]
-            while len(grp) < g:
-                grp.append(np.full_like(grp[0], 4))
-            staged.append(jnp.asarray(np.stack(grp)))
-        del host_batches
-
-        m = self.size
-        width = min(self.RANGE_WIDTH, m)
-        nonzero = 0
-        n_ranges = -(-m // width)
-        for ri, c0 in enumerate(range(0, m, width)):
-            from ..utils.log import log
-
-            log(f"CBF range pass {ri + 1}/{n_ranges} "
-                f"({n_batches} genome batches in {len(staged)} stacks, "
-                f"{len(q_blocks)} query blocks)",
-                func="PasswiseGenomeCBF")
-            filt_range = jnp.zeros((width,), jnp.uint8)
-            c0_t = jnp.uint64(c0)
-            for stack in staged:
-                filt_range = _range_add_stack(
-                    filt_range, stack, seeds, c0_t, self._k, m, width
-                )
-            for bi, q in enumerate(q_blocks):
-                counts[bi] = _range_min_counts(
-                    counts[bi], filt_range, q, seeds, c0_t, m, width
-                )
-            nonzero += int(_range_nonzero(filt_range, width))
-            del filt_range
-        self._nonzero = nonzero
-        return np.concatenate([np.asarray(c) for c in counts])[:nreal]
-
-    def find(self, hashes) -> np.ndarray:
-        return self.count(hashes) > 0
-
-    def occupancy(self) -> float:
-        return (self._nonzero or 0) / self.size
 
 
 class ShardedCBF:

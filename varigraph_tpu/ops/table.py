@@ -124,6 +124,32 @@ def count_merge(cov: jnp.ndarray, keys: jnp.ndarray, queries: jnp.ndarray,
     return cov + (nxt - cmk)
 
 
+def count_merge_super(cov: jnp.ndarray, keys: jnp.ndarray,
+                      values: jnp.ndarray) -> jnp.ndarray:
+    """count_merge for the LARGE-TABLE regime: values are pre-sentinelized
+    (masked-out slots == _SENTINEL), typically a whole super-batch of
+    sketched query batches flattened together.
+
+    Why a separate entry point: the per-batch joins (count_merge_banded /
+    count_merge) were designed for tables of ~10^5 keys and pay the full
+    table cost EVERY batch -- the Pallas banded join's grid is M/128 blocks
+    (at 29M keys it wants 41.9 GB of HBM just to compile, round-3 rehearsal),
+    and the two-sort join concatenates all M keys into every per-batch sort.
+    Accumulating G batches of queries in HBM and joining once amortizes the
+    table term to M/G per batch:
+
+        per-batch cost ~ 2 sorts * (M/G + N) / 315M elem/s
+
+    which at M = 29M, N = 2.2M, G = 24 is ~21 ms/batch -- vs unrunnable.
+    Pure XLA sorts + scans (the fast TPU primitives); no Pallas, no scatter.
+
+    Reference counterpart: the O(1) hash-map probe per k-mer
+    (src/fastq_kmer.cpp:126-141) whose table-size independence this regime
+    recovers, amortized.
+    """
+    return count_merge(cov, keys, values, values != _SENTINEL)
+
+
 def count_merge_chunked(cov: jnp.ndarray, keys: jnp.ndarray,
                         queries: jnp.ndarray, mask: jnp.ndarray,
                         chunks: int) -> jnp.ndarray:
@@ -259,18 +285,24 @@ class KmerTable:
     def build_packed(keys: np.ndarray, freq: np.ndarray,
                      hapbit_bytes: np.ndarray, refflag: np.ndarray,
                      nhap: int) -> "KmerTable":
-        """Build from unsorted host arrays with bit-packed haplotype rows
+        """Build from host arrays with bit-packed haplotype rows
         ([M, ceil(nhap/8)] uint8, hap i -> byte i>>3 bit i&7).  Never
         materializes the [M, nhap] matrix -- the scale-safe path (at
-        M = 10^8, H = 200 the unpacked matrix is 20 GB)."""
-        order = np.argsort(keys, kind="stable")
-        keys = np.ascontiguousarray(keys[order])
+        M = 10^8, H = 200 the unpacked matrix is 20 GB).  Already-sorted
+        keys (index_graph emits them hash-major) skip the argsort."""
+        keys = np.asarray(keys, np.uint64)
+        if len(keys) > 1 and not np.all(keys[1:] > keys[:-1]):
+            order = np.argsort(keys, kind="stable")
+            keys = np.ascontiguousarray(keys[order])
+            freq, hapbit_bytes, refflag = (
+                freq[order], hapbit_bytes[order], refflag[order]
+            )
         return KmerTable(
-            keys=jnp.asarray(keys.astype(np.uint64)),
+            keys=jnp.asarray(keys),
             cov=jnp.zeros((len(keys),), jnp.uint32),
-            freq=jnp.asarray(freq[order].astype(np.uint8)),
-            hapbits=jnp.asarray(bytes_to_words(hapbit_bytes[order], nhap)),
-            refflag=jnp.asarray(refflag[order].astype(np.bool_)),
+            freq=jnp.asarray(freq.astype(np.uint8)),
+            hapbits=jnp.asarray(bytes_to_words(hapbit_bytes, nhap)),
+            refflag=jnp.asarray(refflag.astype(np.bool_)),
             nhap=nhap,
         )
 
