@@ -126,7 +126,7 @@ def save_graph(gi: GraphIndex, path: str) -> None:
         local_bits=local_bits_arr,
         tbl_keys=gi.table.keys_np(),
         tbl_freq=gi.table.freq_np(),
-        tbl_bits=np.asarray(gi.table.hapbits),
+        tbl_bits=gi.table.hap_words_np(),
         tbl_refflag=gi.table.refflag_np(),
     )
     fh.close()
@@ -222,14 +222,24 @@ def load_graph(path: str) -> GraphIndex:
 
     import jax.numpy as jnp
 
+    tbl_keys = z["tbl_keys"]
+    tbl_freq = z["tbl_freq"]
+    tbl_bits = z["tbl_bits"]
+    tbl_refflag = z["tbl_refflag"]
     table = KmerTable(
-        keys=jnp.asarray(z["tbl_keys"]),
-        cov=jnp.zeros((len(z["tbl_keys"]),), jnp.uint32),
-        freq=jnp.asarray(z["tbl_freq"]),
-        hapbits=jnp.asarray(z["tbl_bits"]),
-        refflag=jnp.asarray(z["tbl_refflag"]),
+        keys=jnp.asarray(tbl_keys),
+        cov=jnp.zeros((len(tbl_keys),), jnp.uint32),
+        freq=jnp.asarray(tbl_freq),
+        hapbits=jnp.asarray(tbl_bits),
+        refflag=jnp.asarray(tbl_refflag),
         nhap=nhap,
     )
+    # seed the memoized host views (avoids minutes-long D2H fetches of the
+    # big table arrays through the axon tunnel, see KmerTable.build_packed)
+    table._keys_np = np.ascontiguousarray(tbl_keys)
+    table._freq_np = np.ascontiguousarray(tbl_freq)
+    table._words_np = np.ascontiguousarray(tbl_bits)
+    table._refflag_np = np.ascontiguousarray(tbl_refflag)
 
     stats = VariantStats(**meta["stats"])
     gi = GraphIndex(

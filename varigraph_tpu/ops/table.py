@@ -297,14 +297,25 @@ class KmerTable:
             freq, hapbit_bytes, refflag = (
                 freq[order], hapbit_bytes[order], refflag[order]
             )
-        return KmerTable(
+        words = bytes_to_words(hapbit_bytes, nhap)
+        freq = freq.astype(np.uint8)
+        refflag = refflag.astype(np.bool_)
+        t = KmerTable(
             keys=jnp.asarray(keys),
             cov=jnp.zeros((len(keys),), jnp.uint32),
-            freq=jnp.asarray(freq.astype(np.uint8)),
-            hapbits=jnp.asarray(bytes_to_words(hapbit_bytes, nhap)),
-            refflag=jnp.asarray(refflag.astype(np.bool_)),
+            freq=jnp.asarray(freq),
+            hapbits=jnp.asarray(words),
+            refflag=jnp.asarray(refflag),
             nhap=nhap,
         )
+        # seed the memoized host views from the source arrays: a D2H fetch
+        # of the 232 MB key array through the axon tunnel measured 12+ min
+        # (it stalled the round-4 genotype rehearsal in graph2node)
+        t._keys_np = keys
+        t._freq_np = freq
+        t._words_np = words
+        t._refflag_np = refflag
+        return t
 
     @property
     def size(self) -> int:
@@ -360,7 +371,7 @@ class KmerTable:
         this is tens of GB (use hap_words_np + ops.table.unpack_hapbits on
         gathered subsets instead)."""
         if not hasattr(self, "_rows_np"):
-            self._rows_np = unpack_hapbits(np.asarray(self.hapbits), self.nhap)
+            self._rows_np = unpack_hapbits(self.hap_words_np(), self.nhap)
         return self._rows_np
 
     def refflag_np(self) -> np.ndarray:
