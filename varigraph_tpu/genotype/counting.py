@@ -98,6 +98,19 @@ _BANDED_MAX_KEYS = int(os.environ.get("VARIGRAPH_BANDED_MAX_KEYS",
                                       str(2 << 20)))
 _SUPER_ROWS = 24     # sub-batches per super-join; must be a multiple of _FUSE
 
+# Pace async dispatch with a real 4-byte D2H fetch every this many fused
+# groups (and after every super-join).  Through the axon tunnel
+# block_until_ready() returns early, so without a real fetch the client
+# enqueues thousands of dispatches ahead of execution -- the round-4 1 Gbp
+# rehearsal (4,070 batches in ~155 s of enqueue) lost its tunnel session
+# mid-backlog and hung forever on the next fetch.  One small fetch per
+# ~window keeps the client within a bounded lead at ~50 ms per sync.
+_PACE_GROUPS = 8
+
+
+def _pace(arr) -> None:
+    np.asarray(jax.device_get(arr[:1]))
+
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
 def _sketch_to_rows(buf: jnp.ndarray, packed_f: jnp.ndarray,
@@ -230,10 +243,13 @@ def count_reads(
             if filled >= _SUPER_ROWS:
                 accs[0] = _join_rows(accs[0], table.keys, bufs[buf_i],
                                      jnp.int32(filled))
+                _pace(accs[0])
                 buf_i = 1 - buf_i
                 filled = 0
         else:
             accs[slot] = _count_fused(accs[slot], table.keys, dev, k)
+            if ngroups % _PACE_GROUPS == _PACE_GROUPS - 1:
+                _pace(accs[slot])
         read_base += gb
         ngroups += 1
         nbatches += n_real
@@ -258,7 +274,7 @@ def count_reads(
     cov = accs[0]
     for extra in accs[1:]:
         cov = cov + extra
-    cov.block_until_ready()
+    _pace(cov)  # real sync: block_until_ready returns early via the tunnel
     table.cov = cov
     log(f"Processed {nbatches} batches, {read_base / 1e9:.2f} Gb",
         func="count_reads")

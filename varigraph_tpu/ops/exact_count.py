@@ -101,6 +101,10 @@ class ExactGenomeCounter:
             while len(grp) < g:
                 grp.append(np.full_like(grp[0], 4))
             cov = _count_codes_stack(cov, keys, jnp.asarray(np.stack(grp)), k)
+            # real 4-byte sync per dispatch: bounds the async backlog the
+            # tunnel holds (block_until_ready returns early remotely; an
+            # unbounded enqueue lead can drop the tunnel session)
+            np.asarray(jax.device_get(cov[:1]))
             n_joins += 1
 
         for chrom, seq in self._fasta_map.items():
