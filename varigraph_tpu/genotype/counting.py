@@ -112,6 +112,19 @@ def _pace(arr) -> None:
     np.asarray(jax.device_get(arr[:1]))
 
 
+_I32_CACHE: dict[int, object] = {}
+
+
+def _i32(v: int):
+    """Memoized tiny device scalar: every fresh jnp.int32(x) is its own
+    H2D transfer, which through the high-latency tunnel adds up over
+    thousands of dispatch calls."""
+    c = _I32_CACHE.get(v)
+    if c is None:
+        c = _I32_CACHE[v] = jnp.int32(v)
+    return c
+
+
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
 def _sketch_to_rows(buf: jnp.ndarray, packed_f: jnp.ndarray,
                     slot0: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -238,11 +251,11 @@ def count_reads(
                 accs[slot] = mesh_step(accs[slot], table.keys, dev[j])
         elif big_table:
             bufs[buf_i] = _sketch_to_rows(bufs[buf_i], dev,
-                                          jnp.int32(filled), k)
+                                          _i32(filled), k)
             filled += dev.shape[0]
             if filled >= _SUPER_ROWS:
                 accs[0] = _join_rows(accs[0], table.keys, bufs[buf_i],
-                                     jnp.int32(filled))
+                                     _i32(filled))
                 _pace(accs[0])
                 buf_i = 1 - buf_i
                 filled = 0
@@ -267,7 +280,7 @@ def count_reads(
             drain_one()
         if big_table and filled:
             accs[0] = _join_rows(accs[0], table.keys, bufs[buf_i],
-                                 jnp.int32(filled))
+                                 _i32(filled))
     finally:
         pool.shutdown(wait=False)
 

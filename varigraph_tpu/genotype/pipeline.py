@@ -10,6 +10,12 @@ from ..config import VarigraphConfig
 from ..index.serialize import load_graph
 from ..index.structs import GraphIndex
 from ..utils.log import log
+
+
+def _rss_gb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 from .counting import count_reads
 from .coverage import estimate_hap_coverage
 from .engine_np import genotype_np, graph2node
@@ -116,8 +122,8 @@ def genotype_one_sample(
             # process 0 only: every host holds the identical merged state,
             # and N concurrent writers to one path is a write race
             save_counts(gi, counts_out, read_base)
-    log(f"phase timing: counting {_time.perf_counter()-_t0:.2f}s",
-        func="genotype_one_sample")
+    log(f"phase timing: counting {_time.perf_counter()-_t0:.2f}s "
+        f"(rss {_rss_gb():.1f} GB)", func="genotype_one_sample")
     read_depth = read_base / float(gi.genome_size)
 
     _t0 = _time.perf_counter()
@@ -128,8 +134,8 @@ def genotype_one_sample(
         cov_u8, freq, hap_words, gi.nhap, gi.vcf_ploidy, cfg.sample_ploidy,
         read_depth, cfg.use_depth,
     )
-    log(f"phase timing: coverage model {_time.perf_counter()-_t0:.2f}s",
-        func="genotype_one_sample")
+    log(f"phase timing: coverage model {_time.perf_counter()-_t0:.2f}s "
+        f"(rss {_rss_gb():.1f} GB)", func="genotype_one_sample")
     log(f"Size of the sequenced data: {read_base / 1e9:.2f} Gb")
     log(f"Depth of the sequenced data: {read_depth:.2f}")
     log(f"Coverage of haplotype k-mers: {hap_cov:.2f}")
@@ -148,8 +154,8 @@ def genotype_one_sample(
         from .engine_jax import genotype_jax
 
         results = genotype_jax(gi, cfg, hap_cov, cfg.seed, host_arrays)
-    log(f"phase timing: scoring {_time.perf_counter()-_t0:.2f}s",
-        func="genotype_one_sample")
+    log(f"phase timing: scoring {_time.perf_counter()-_t0:.2f}s "
+        f"(rss {_rss_gb():.1f} GB)", func="genotype_one_sample")
 
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{sample_name}.varigraph.vcf.gz")
