@@ -477,19 +477,38 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         - (p - 0.5) ** 2 / (2 * variance)
     )
 
-    preps: list[_WindowPrep] = []
+    # enumerate windows + the exact node-axis bound up front (cheap dense
+    # metadata); the heavy per-window prep itself STREAMS one group ahead
+    # of the device work on a worker thread -- the former prep-everything-
+    # first pass serialized ~50 s of host gathers before any dispatch AND
+    # held every window's [n, K, U] tensors live at once (~GBs at 500k
+    # sites)
+    windows_all: list[tuple[str, int, int, int]] = []
+    nmax = 1
     for chrom in sorted(gi.graph.nodes.keys()):
         starts = gi.graph.starts[chrom]
         chrom_len = gi.chrom_lens.get(chrom)
         if chrom_len is None:
             raise ValueError(f"'{chrom}' does not exist in the reference genome.")
-        windows = make_windows(starts, chrom_len, cfg.granularity_bp)
-        for w_id, (lo, hi) in enumerate(windows):
+        gl = gi.graph.gt_len[chrom]
+        for w_id, (lo, hi) in enumerate(
+            make_windows(starts, chrom_len, cfg.granularity_bp)
+        ):
+            windows_all.append((chrom, w_id, lo, hi))
+            nmax = max(nmax, int((gl[lo:hi] > 1).sum()))
+
+    results: dict[tuple[str, int], PosteriorRecord] = {}
+    if not windows_all:
+        return results
+
+    def prep_iter():
+        for chrom, w_id, lo, hi in windows_all:
             rng = np.random.Generator(
                 np.random.PCG64([seed, window_rng_seed(chrom), w_id])
             )
             prep = _WindowPrep(gi, cfg, chrom, lo, hi, rng, cov_u8, freq_np,
                                hap_words, refflag, hap_cov)
+            starts = gi.graph.starts[chrom]
             log(
                 f"Haplotype selection results for {chrom}-"
                 f"{starts[lo] if lo < len(starts) else 0}: "
@@ -497,25 +516,22 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
                 func="haplotype_selection",
             )
             if prep.node_refs:
-                preps.append(prep)
-    _t["prep"] = _time.perf_counter() - _t0
-
-    results: dict[tuple[str, int], PosteriorRecord] = {}
-    if not preps:
-        return results
+                yield prep
 
     # pad to common shapes (all axes power-of-two so shapes are reused
     # across runs with different window/state counts; U is a multiple of 32
-    # so hap bitmasks pack exactly into uint32 words for the device)
-    S = _pow2(max(len(p_.states) for p_ in preps), 4)
-    U = max(32, _pow2(max(len(p_.used_haps) for p_ in preps), 4))
-    N = _pow2(max(len(p_.node_refs) for p_ in preps), 8)
+    # so hap bitmasks pack exactly into uint32 words for the device).  The
+    # node axis is exact (from metadata); S/U start from the first group's
+    # maxima and grow (new pow2 -> one recompile) in the rare modes where a
+    # later window needs more states/haplotypes.
+    N = _pow2(nmax, 8)
     K = MAX_NODE_KMERS
     P = cfg.sample_ploidy
     # windows are processed in fixed-size groups so device memory stays
     # bounded at genome scale (a whole-genome run has thousands of 1 Mb
     # windows; [W, N, S] alpha/beta at W=3000 would be several GB)
-    Wg = min(_pow2(len(preps), 1), _WINDOW_GROUP)
+    Wg = min(_pow2(len(windows_all), 1), _WINDOW_GROUP)
+    S = U = 0
 
     fre_mode = cfg.transition_pro_type != "rec"
 
@@ -528,8 +544,29 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
 
     pad_logE = None  # device [N, S] filler for group padding (kind=0 rows)
 
-    for g0 in range(0, len(preps), Wg):
-        group = preps[g0 : g0 + Wg]
+    import itertools
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = prep_iter()
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    def take():
+        return list(itertools.islice(it, Wg))
+
+    fut = pool.submit(take)
+    while True:
+        _tw = _time.perf_counter()
+        group = fut.result()       # only the NON-overlapped prep time counts
+        _t["prep"] += _time.perf_counter() - _tw
+        fut = pool.submit(take)
+        if not group:
+            pool.shutdown(wait=False)
+            break
+        gS = _pow2(max(len(p_.states) for p_ in group), 4)
+        gU = max(32, _pow2(max(len(p_.used_haps) for p_ in group), 4))
+        if gS > S or gU > U:
+            S, U = max(S, gS), max(U, gU)
+            pad_logE = None  # shape changed; rebuild the filler
         kind_all = np.zeros((Wg, N), np.int32)
         lrf = np.zeros((Wg, N), np.float32)
         lnrf = np.zeros((Wg, N), np.float32)
