@@ -240,6 +240,19 @@ def count_reads(
 
     pool = ThreadPoolExecutor(max_workers=_UPLOAD_DEPTH)
     inflight: collections.deque = collections.deque()
+    # deferred pacing: a tiny [:1] slice handle is created right after a
+    # dispatch (before any later donation can invalidate the buffer) and
+    # FETCHED one pace-point later, so the device always has the next
+    # super-join / group window queued while the client syncs on the
+    # previous one -- bounded lead without stalling the pipeline
+    pending_sync = None
+
+    def sync_point(arr):
+        nonlocal pending_sync
+        h = arr[:1]
+        if pending_sync is not None:
+            np.asarray(jax.device_get(pending_sync))
+        pending_sync = h
 
     def drain_one():
         nonlocal read_base, ngroups, nbatches, buf_i, filled
@@ -256,13 +269,13 @@ def count_reads(
             if filled >= _SUPER_ROWS:
                 accs[0] = _join_rows(accs[0], table.keys, bufs[buf_i],
                                      _i32(filled))
-                _pace(accs[0])
+                sync_point(accs[0])
                 buf_i = 1 - buf_i
                 filled = 0
         else:
             accs[slot] = _count_fused(accs[slot], table.keys, dev, k)
             if ngroups % _PACE_GROUPS == _PACE_GROUPS - 1:
-                _pace(accs[slot])
+                sync_point(accs[slot])
         read_base += gb
         ngroups += 1
         nbatches += n_real

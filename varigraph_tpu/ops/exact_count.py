@@ -95,16 +95,22 @@ class ExactGenomeCounter:
         grp: list[np.ndarray] = []
         n_batches = 0
         n_joins = 0
+        # deferred pacing (see genotype/counting.sync_point): fetch the
+        # PREVIOUS dispatch's 4-byte handle after enqueueing the next one,
+        # so the device stays busy while the client bounds its async lead
+        # (block_until_ready returns early through the tunnel; an unbounded
+        # enqueue backlog can drop the tunnel session)
+        pending_sync = None
 
         def flush(grp):
-            nonlocal cov, n_joins
+            nonlocal cov, n_joins, pending_sync
             while len(grp) < g:
                 grp.append(np.full_like(grp[0], 4))
             cov = _count_codes_stack(cov, keys, jnp.asarray(np.stack(grp)), k)
-            # real 4-byte sync per dispatch: bounds the async backlog the
-            # tunnel holds (block_until_ready returns early remotely; an
-            # unbounded enqueue lead can drop the tunnel session)
-            np.asarray(jax.device_get(cov[:1]))
+            h = cov[:1]
+            if pending_sync is not None:
+                np.asarray(jax.device_get(pending_sync))
+            pending_sync = h
             n_joins += 1
 
         for chrom, seq in self._fasta_map.items():
