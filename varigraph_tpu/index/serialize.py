@@ -27,17 +27,30 @@ _MAGIC = "varigraph-tpu-graph"
 _VERSION = 1
 
 
+# members stored WITHOUT deflate: u64 hash arrays are ~incompressible
+# (hash64/Murmur outputs), so deflating them costs CPU for nothing -- at
+# the 1 Gbp scale kmer_flat + tbl_keys are ~600 MB of the write
+_STORED_MEMBERS = frozenset({"kmer_flat", "tbl_keys"})
+
+
 def _savez_level1(fh, **arrays) -> None:
     """np.savez_compressed with deflate level 1: same .npz container
     (np.load-compatible) but ~10x faster to write -- savez_compressed's
-    fixed level 6 took 101 s for a 300 Mb genome's graph."""
+    fixed level 6 took 101 s for a 300 Mb genome's graph.  Known-high-
+    entropy members are STORED raw (see _STORED_MEMBERS)."""
     import zipfile
 
     with zipfile.ZipFile(fh, "w", zipfile.ZIP_DEFLATED, allowZip64=True,
                          compresslevel=1) as zf:
         for name, arr in arrays.items():
-            with zf.open(f"{name}.npy", "w", force_zip64=True) as member:
-                np.lib.format.write_array(member, np.asanyarray(arr))
+            if name in _STORED_MEMBERS:
+                zi = zipfile.ZipInfo(f"{name}.npy")
+                zi.compress_type = zipfile.ZIP_STORED
+                with zf.open(zi, "w", force_zip64=True) as member:
+                    np.lib.format.write_array(member, np.asanyarray(arr))
+            else:
+                with zf.open(f"{name}.npy", "w", force_zip64=True) as member:
+                    np.lib.format.write_array(member, np.asanyarray(arr))
 
 
 def save_graph(gi: GraphIndex, path: str) -> None:
