@@ -337,8 +337,9 @@ def bench_ours_large_table(paths):
     keys to LARGE_TABLE_KEYS; decoys share the span byte but are fresh
     55-bit hashes, so the expected hit count is unchanged (collision odds
     ~1e-8) and every trial is verified by the exact cov sum.  Dispatches
-    are the production large-table path (genotype/counting._sketch_to_rows
-    + _join_rows, auto-selected by count_reads above _BANDED_MAX_KEYS)."""
+    are the production large-table path (genotype/counting.
+    _count_packed_super, auto-selected by count_reads above
+    _BANDED_MAX_KEYS)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -378,16 +379,8 @@ def bench_ours_large_table(paths):
     sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def one_pass(cov):
-        buf = jnp.full((C._SUPER_ROWS, nq), sentinel, jnp.uint64)
-        filled = 0
         for s in dev_stacks:
-            buf = C._sketch_to_rows(buf, s, jnp.int32(filled), K)
-            filled += s.shape[0]
-            if filled >= C._SUPER_ROWS:
-                cov = C._join_rows(cov, keys, buf, jnp.int32(filled))
-                filled = 0
-        if filled:
-            cov = C._join_rows(cov, keys, buf, jnp.int32(filled))
+            cov = C._count_packed_super(cov, keys, s, K)
         return cov
 
     # expected hits (also warmup/compile); must match the small-table count

@@ -1,7 +1,8 @@
 """Measure the superbatch join (large-table counting) on the real TPU.
 
-Times the production dispatch pair (_sketch_to_rows + _join_rows from
-genotype/counting) at table sizes spanning the banded join's regime up to
+Times the production large-table dispatch (_count_packed_super from
+genotype/counting; originally the _sketch_to_rows + _join_rows pair) at
+table sizes spanning the banded join's regime up to
 the 1 Gbp rehearsal's 29M keys, and the banded join where it can compile,
 to locate the crossover for _BANDED_MAX_KEYS.
 
@@ -29,8 +30,8 @@ m_list = [float(x) * 1e6 for x in
 
 rng = np.random.default_rng(0)
 
-# one packed read group [F, B, L/4+2] reused for all stashes
-codes = rng.integers(0, 4, (C._FUSE, B, L), dtype=np.uint8)
+# one packed super-group [SUPER, B, L/4+2] reused for all dispatches
+codes = rng.integers(0, 4, (SUPER, B, L), dtype=np.uint8)
 lens = np.full(B, L, np.int64)
 packed = np.stack([pack_codes_np(c, lens) for c in codes])
 dev_packed = jax.device_put(packed)
@@ -45,21 +46,17 @@ for m_f in m_list:
         | np.uint64(K))
     dkeys = jnp.asarray(keys)
     cov = jnp.zeros((len(keys),), jnp.uint32)
-    buf = jnp.full((SUPER, nq), np.uint64(0xFFFFFFFFFFFFFFFF), jnp.uint64)
 
     # warm up compiles (block via a real D2H fetch: block_until_ready
     # returns early for tunnel-remote arrays)
-    buf = C._sketch_to_rows(buf, dev_packed, jnp.int32(0), K)
-    cov = C._join_rows(cov, dkeys, buf, jnp.int32(SUPER))
+    cov = C._count_packed_super(cov, dkeys, dev_packed, K)
     _ = np.asarray(cov[:8])
 
-    # steady state: stash SUPER rows then join, x repeats
+    # steady state: one fused sketch+join dispatch per SUPER batches
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        for s in range(0, SUPER, C._FUSE):
-            buf = C._sketch_to_rows(buf, dev_packed, jnp.int32(s), K)
-        cov = C._join_rows(cov, dkeys, buf, jnp.int32(SUPER))
+        cov = C._count_packed_super(cov, dkeys, dev_packed, K)
     _ = np.asarray(cov[:8])
     dt = (time.time() - t0) / reps
     per_batch = dt / SUPER

@@ -96,7 +96,7 @@ _UPLOAD_DEPTH = 3    # uploads in flight ahead of the consumer
 # flat at 1-4M and 43.6 ms at 29M (50M k-mers/s device-side).
 _BANDED_MAX_KEYS = int(os.environ.get("VARIGRAPH_BANDED_MAX_KEYS",
                                       str(2 << 20)))
-_SUPER_ROWS = 24     # sub-batches per super-join; must be a multiple of _FUSE
+_SUPER_ROWS = 24     # batches uploaded + joined per super-group dispatch
 
 # Pace async dispatch with a real 4-byte D2H fetch every this many fused
 # groups (and after every super-join).  Through the axon tunnel
@@ -112,46 +112,29 @@ def _pace(arr) -> None:
     np.asarray(jax.device_get(arr[:1]))
 
 
-_I32_CACHE: dict[int, object] = {}
-
-
-def _i32(v: int):
-    """Memoized tiny device scalar: every fresh jnp.int32(x) is its own
-    H2D transfer, which through the high-latency tunnel adds up over
-    thousands of dispatch calls."""
-    c = _I32_CACHE.get(v)
-    if c is None:
-        c = _I32_CACHE[v] = jnp.int32(v)
-    return c
-
-
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
-def _sketch_to_rows(buf: jnp.ndarray, packed_f: jnp.ndarray,
-                    slot0: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Sketch F stacked packed sub-batches and stash their sentinelized flat
-    values into buf rows [slot0, slot0+F).  Pad sub-batches (valid length 0)
-    produce all-sentinel rows, so tail groups stay correct."""
+def _count_packed_super(cov: jnp.ndarray, keys: jnp.ndarray,
+                        packed_f: jnp.ndarray, k: int) -> jnp.ndarray:
+    """ONE dispatch per super-group: sketch all F stacked packed sub-batches
+    (lax.scan) and join their flattened values against the table in the
+    same call.  Pad sub-batches (valid length 0) sketch to all-sentinel
+    rows, so tail groups need no masking.
 
-    def body(carry, packed):
-        b, slot = carry
+    Why one call: through the remote tunnel each jit DISPATCH costs
+    ~50-220 ms of client overhead on top of the device work (measured
+    2026-08-21, /tmp/count_probe10: 6 stash + 1 join calls per 24-batch
+    super-group = 56.6 s of pure dispatch time for 1024 batches).  Fusing
+    the former stash-into-HBM-buffer + join pair into a single scan+join
+    dispatch cuts the per-super-group client cost ~7x; device work is
+    identical."""
+
+    def body(_, packed):
         values, emit = sketch_packed(packed, k)
         values, emit = values[..., k - 1:], emit[..., k - 1:]
-        row = jnp.where(emit, values, _SENTINEL).reshape(-1)
-        b = jax.lax.dynamic_update_slice(b, row[None], (slot, jnp.int32(0)))
-        return (b, slot + 1), None
+        return None, jnp.where(emit, values, _SENTINEL).reshape(-1)
 
-    (buf, _), _ = jax.lax.scan(body, (buf, jnp.int32(slot0)), packed_f)
-    return buf
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _join_rows(cov: jnp.ndarray, keys: jnp.ndarray, buf: jnp.ndarray,
-               nrows: jnp.ndarray) -> jnp.ndarray:
-    """Join buf rows [0, nrows) against the table (rows beyond nrows are
-    stale from the previous super-group and masked out)."""
-    valid = jnp.arange(buf.shape[0], dtype=jnp.int32) < nrows
-    vals = jnp.where(valid[:, None], buf, _SENTINEL).reshape(-1)
-    return count_merge_super(cov, keys, vals)
+    _, vals = jax.lax.scan(body, None, packed_f)
+    return count_merge_super(cov, keys, vals.reshape(-1))
 
 
 def _fused_groups(batch_iter, fuse: int):
@@ -213,20 +196,15 @@ def count_reads(
     for path in fastq_files:
         log(f"Collecting kmers from read on device: {path}", func="count_reads")
 
-    # large-table regime: stash sketched queries into HBM buffers, join once
-    # per _SUPER_ROWS sub-batches (see _BANDED_MAX_KEYS above).  Two buffers
-    # round-robin so the next super-group's stashes overlap the in-flight
-    # join that still reads the previous buffer.
+    # large-table regime: upload _SUPER_ROWS batches per group and run ONE
+    # fused sketch+join dispatch per group (see _BANDED_MAX_KEYS and
+    # _count_packed_super above)
     big_table = mesh_step is None and table.size > _BANDED_MAX_KEYS
-    bufs: list = []
-    buf_i = 0
-    filled = 0  # sub-batch rows stashed into the current buffer
+    fuse = _SUPER_ROWS if big_table else _FUSE
     if big_table:
         nq = batch_size * (max_len - k + 1)
-        bufs = [jnp.full((_SUPER_ROWS, nq), _SENTINEL, jnp.uint64)
-                for _ in range(2)]
         log(f"large-table counting: {table.size / 1e6:.1f}M keys, "
-            f"super-join every {_SUPER_ROWS} batches "
+            f"one fused sketch+join dispatch per {_SUPER_ROWS} batches "
             f"({_SUPER_ROWS * nq / 1e6:.0f}M query slots)",
             func="count_reads")
 
@@ -246,56 +224,66 @@ def count_reads(
     # super-join / group window queued while the client syncs on the
     # previous one -- bounded lead without stalling the pipeline
     pending_sync = None
+    timing = os.environ.get("VARIGRAPH_COUNT_TIMING")
+    waits = {"upload": 0.0, "sync": 0.0, "dispatch": 0.0, "feed": 0.0}
+    import time as _time
 
     def sync_point(arr):
         nonlocal pending_sync
         h = arr[:1]
         if pending_sync is not None:
+            t0 = _time.perf_counter()
             np.asarray(jax.device_get(pending_sync))
+            waits["sync"] += _time.perf_counter() - t0
         pending_sync = h
 
     def drain_one():
-        nonlocal read_base, ngroups, nbatches, buf_i, filled
+        nonlocal read_base, ngroups, nbatches
         fut, gb, n_real = inflight.popleft()
+        t0 = _time.perf_counter()
         dev = fut.result()
+        waits["upload"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         slot = ngroups % _N_ACCUMULATORS
         if mesh_step is not None:
             for j in range(n_real):
                 accs[slot] = mesh_step(accs[slot], table.keys, dev[j])
         elif big_table:
-            bufs[buf_i] = _sketch_to_rows(bufs[buf_i], dev,
-                                          _i32(filled), k)
-            filled += dev.shape[0]
-            if filled >= _SUPER_ROWS:
-                accs[0] = _join_rows(accs[0], table.keys, bufs[buf_i],
-                                     _i32(filled))
-                sync_point(accs[0])
-                buf_i = 1 - buf_i
-                filled = 0
+            accs[0] = _count_packed_super(accs[0], table.keys, dev, k)
+            waits["dispatch"] += _time.perf_counter() - t0
+            sync_point(accs[0])
+            t0 = _time.perf_counter()
         else:
             accs[slot] = _count_fused(accs[slot], table.keys, dev, k)
             if ngroups % _PACE_GROUPS == _PACE_GROUPS - 1:
+                waits["dispatch"] += _time.perf_counter() - t0
                 sync_point(accs[slot])
+                t0 = _time.perf_counter()
+        waits["dispatch"] += _time.perf_counter() - t0
         read_base += gb
         ngroups += 1
         nbatches += n_real
 
     try:
+        tfeed = _time.perf_counter()
         for stacked, gb, n_real in _fused_groups(
             stream_packed_batches_multi(fastq_files, batch_size, max_len, k,
                                         max_parallel=max(io_threads, 1)),
-            _FUSE,
+            fuse,
         ):
+            waits["feed"] += _time.perf_counter() - tfeed
             inflight.append((pool.submit(upload, stacked), gb, n_real))
             if len(inflight) >= _UPLOAD_DEPTH:
                 drain_one()
+            tfeed = _time.perf_counter()
         while inflight:
             drain_one()
-        if big_table and filled:
-            accs[0] = _join_rows(accs[0], table.keys, bufs[buf_i],
-                                 _i32(filled))
     finally:
         pool.shutdown(wait=False)
+    if timing:
+        log("count timing: " + " ".join(
+            f"{k_}={v:.1f}s" for k_, v in waits.items()),
+            func="count_reads")
 
     cov = accs[0]
     for extra in accs[1:]:
