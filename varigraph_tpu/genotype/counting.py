@@ -107,6 +107,16 @@ _SUPER_ROWS = 24     # batches uploaded + joined per super-group dispatch
 # ~window keeps the client within a bounded lead at ~50 ms per sync.
 _PACE_GROUPS = 8
 
+# Large-table super-groups staged on device per phase.  Measured 2026-08-21:
+# H2D through the tunnel runs ~40 MB/s against an IDLE device but collapses
+# ~10-80x when uploads interleave with executions (head-of-line blocking on
+# the single relay channel; /tmp/count_probe9-10 vs tools/h2d_probe4), so
+# upload/compute overlap is an anti-pattern here.  The big-table path
+# alternates instead: upload _STAGE_GROUPS super-groups while the device is
+# idle, then dispatch them back-to-back and sync.  Duty-cycle cost ~25%
+# vs perfect overlap; ~10x faster than collapsed-overlap.
+_STAGE_GROUPS = int(os.environ.get("VARIGRAPH_STAGE_GROUPS", "12"))
+
 
 def _pace(arr) -> None:
     np.asarray(jax.device_get(arr[:1]))
@@ -248,11 +258,6 @@ def count_reads(
         if mesh_step is not None:
             for j in range(n_real):
                 accs[slot] = mesh_step(accs[slot], table.keys, dev[j])
-        elif big_table:
-            accs[0] = _count_packed_super(accs[0], table.keys, dev, k)
-            waits["dispatch"] += _time.perf_counter() - t0
-            sync_point(accs[0])
-            t0 = _time.perf_counter()
         else:
             accs[slot] = _count_fused(accs[slot], table.keys, dev, k)
             if ngroups % _PACE_GROUPS == _PACE_GROUPS - 1:
@@ -264,20 +269,71 @@ def count_reads(
         ngroups += 1
         nbatches += n_real
 
+    def flush_staged(staged):
+        """Phase B: dispatch every staged super-group back-to-back, then one
+        real sync.  No uploads happen while the device executes."""
+        nonlocal read_base, ngroups, nbatches
+        t0 = _time.perf_counter()
+        for dev, gb, n_real in staged:
+            accs[0] = _count_packed_super(accs[0], table.keys, dev, k)
+            read_base += gb
+            ngroups += 1
+            nbatches += n_real
+        waits["dispatch"] += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        _pace(accs[0])
+        waits["sync"] += _time.perf_counter() - t0
+        staged.clear()
+
     try:
-        tfeed = _time.perf_counter()
-        for stacked, gb, n_real in _fused_groups(
-            stream_packed_batches_multi(fastq_files, batch_size, max_len, k,
-                                        max_parallel=max(io_threads, 1)),
-            fuse,
-        ):
-            waits["feed"] += _time.perf_counter() - tfeed
-            inflight.append((pool.submit(upload, stacked), gb, n_real))
-            if len(inflight) >= _UPLOAD_DEPTH:
-                drain_one()
+        if big_table:
+            # phase-alternating staging (see _STAGE_GROUPS)
+            staged: list = []
+            pending: collections.deque = collections.deque()
             tfeed = _time.perf_counter()
-        while inflight:
-            drain_one()
+            for stacked, gb, n_real in _fused_groups(
+                stream_packed_batches_multi(fastq_files, batch_size, max_len,
+                                            k, max_parallel=max(io_threads, 1)),
+                fuse,
+            ):
+                waits["feed"] += _time.perf_counter() - tfeed
+                pending.append((pool.submit(upload, stacked), gb, n_real))
+                if len(pending) >= _STAGE_GROUPS:
+                    t0 = _time.perf_counter()
+                    while pending:
+                        fut, g, n = pending.popleft()
+                        dev = fut.result()
+                        # force the transfer to COMPLETE while the device is
+                        # idle (device_put is lazy; a 4-byte fetch of a slice
+                        # pulls the whole buffer across)
+                        np.asarray(jax.device_get(dev[0, 0, :1]))
+                        staged.append((dev, g, n))
+                    waits["upload"] += _time.perf_counter() - t0
+                    flush_staged(staged)
+                tfeed = _time.perf_counter()
+            t0 = _time.perf_counter()
+            while pending:
+                fut, g, n = pending.popleft()
+                dev = fut.result()
+                np.asarray(jax.device_get(dev[0, 0, :1]))
+                staged.append((dev, g, n))
+            waits["upload"] += _time.perf_counter() - t0
+            if staged:
+                flush_staged(staged)
+        else:
+            tfeed = _time.perf_counter()
+            for stacked, gb, n_real in _fused_groups(
+                stream_packed_batches_multi(fastq_files, batch_size, max_len,
+                                            k, max_parallel=max(io_threads, 1)),
+                fuse,
+            ):
+                waits["feed"] += _time.perf_counter() - tfeed
+                inflight.append((pool.submit(upload, stacked), gb, n_real))
+                if len(inflight) >= _UPLOAD_DEPTH:
+                    drain_one()
+                tfeed = _time.perf_counter()
+            while inflight:
+                drain_one()
     finally:
         pool.shutdown(wait=False)
     if timing:

@@ -95,22 +95,21 @@ class ExactGenomeCounter:
         grp: list[np.ndarray] = []
         n_batches = 0
         n_joins = 0
-        # deferred pacing (see genotype/counting.sync_point): fetch the
-        # PREVIOUS dispatch's 4-byte handle after enqueueing the next one,
-        # so the device stays busy while the client bounds its async lead
-        # (block_until_ready returns early through the tunnel; an unbounded
-        # enqueue backlog can drop the tunnel session)
-        pending_sync = None
 
         def flush(grp):
-            nonlocal cov, n_joins, pending_sync
+            nonlocal cov, n_joins
             while len(grp) < g:
                 grp.append(np.full_like(grp[0], 4))
-            cov = _count_codes_stack(cov, keys, jnp.asarray(np.stack(grp)), k)
-            h = cov[:1]
-            if pending_sync is not None:
-                np.asarray(jax.device_get(pending_sync))
-            pending_sync = h
+            # upload against an IDLE device, then dispatch, then sync: H2D
+            # through the tunnel collapses ~10-80x when transfers interleave
+            # with executions (head-of-line blocking; see genotype/counting
+            # _STAGE_GROUPS), so upload/compute phases strictly alternate.
+            # The 4-byte fetch also bounds the client's async lead (an
+            # unbounded enqueue backlog can drop the tunnel session).
+            dev = jnp.asarray(np.stack(grp))
+            np.asarray(jax.device_get(dev[0, 0, :1]))  # force the transfer
+            cov = _count_codes_stack(cov, keys, dev, k)
+            np.asarray(jax.device_get(cov[:1]))
             n_joins += 1
 
         for chrom, seq in self._fasta_map.items():
