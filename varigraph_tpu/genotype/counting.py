@@ -308,8 +308,14 @@ def count_reads(
                         # pulls the whole buffer across)
                         np.asarray(jax.device_get(dev[0, 0, :1]))
                         staged.append((dev, g, n))
-                    waits["upload"] += _time.perf_counter() - t0
+                    up_dt = _time.perf_counter() - t0
+                    waits["upload"] += up_dt
+                    t0 = _time.perf_counter()
                     flush_staged(staged)
+                    if timing:
+                        log(f"phase: upload {up_dt:.2f}s "
+                            f"exec {_time.perf_counter() - t0:.2f}s "
+                            f"({_STAGE_GROUPS} groups)", func="count_reads")
                 tfeed = _time.perf_counter()
             t0 = _time.perf_counter()
             while pending:

@@ -54,6 +54,9 @@ def _savez_level1(fh, **arrays) -> None:
 
 
 def save_graph(gi: GraphIndex, path: str) -> None:
+    import time as _time
+
+    _t0 = _time.time()
     log(f"Genome Graph index saved to file: {path}")
     chroms = sorted(gi.graph.nodes.keys())
     chrom_of = {c: i for i, c in enumerate(chroms)}
@@ -143,6 +146,8 @@ def save_graph(gi: GraphIndex, path: str) -> None:
         tbl_refflag=gi.table.refflag_np(),
     )
     fh.close()
+    log(f"graph write complete ({_time.time() - _t0:.1f}s)",
+        func="save_graph")
 
 
 def load_graph(path: str) -> GraphIndex:

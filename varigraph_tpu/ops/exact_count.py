@@ -112,6 +112,9 @@ class ExactGenomeCounter:
             np.asarray(jax.device_get(cov[:1]))
             n_joins += 1
 
+        import time as _time
+
+        t_last = _time.time()
         for chrom, seq in self._fasta_map.items():
             for batch in segment_genome_batches(seq, k):
                 grp.append(batch)
@@ -119,6 +122,10 @@ class ExactGenomeCounter:
                 if len(grp) == g:
                     flush(grp)
                     grp = []
+                    if _time.time() - t_last > 30:
+                        log(f"genome count progress: {n_batches} batches "
+                            f"joined", func="ExactGenomeCounter")
+                        t_last = _time.time()
         if grp:
             flush(grp)
         log(f"exact genome count: {n_batches} genome batches joined against "
