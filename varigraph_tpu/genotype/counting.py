@@ -313,9 +313,13 @@ def count_reads(
                     t0 = _time.perf_counter()
                     flush_staged(staged)
                     if timing:
+                        import resource
+
                         log(f"phase: upload {up_dt:.2f}s "
                             f"exec {_time.perf_counter() - t0:.2f}s "
-                            f"({_STAGE_GROUPS} groups)", func="count_reads")
+                            f"({_STAGE_GROUPS} groups, rss "
+                            f"{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6:.1f}"
+                            f" GB)", func="count_reads")
                 tfeed = _time.perf_counter()
             t0 = _time.perf_counter()
             while pending:
