@@ -65,7 +65,11 @@ READ_LEN = 150
 N_FILES = 4   # reads split across gz files; both sides get the same list
 REPEATS = 3   # each file passed this many times
 DEVICE_TRIALS = 3
-E2E_TRIALS = 3
+E2E_TRIALS = 5      # median of 5: single e2e trials were ~1 s at r4 rates,
+                    # and the tunnel's erratic per-dispatch latency moved
+                    # the r3->r4 headline 5.57x -> 4.47x on noise alone
+E2E_REPEATS = 10    # passes per e2e trial (~0.4 Gb: long enough that
+                    # steady-state streaming dominates startup)
 ORACLE_READS = 128  # reads host-verified against ops/sketch_ref
 
 # Physical plausibility ceiling: the Pallas banded merge-join (the fastest
@@ -298,7 +302,8 @@ def bench_ours(paths):
     thr_dev = statistics.median(dev_thrs) if dev_thrs else 0.0
 
     # ---- end-to-end trials (independent path: gz stream + H2D + device) ---
-    files = paths["fqs"] * REPEATS
+    files = paths["fqs"] * E2E_REPEATS
+    e2e_kmers = kmers_one_pass * E2E_REPEATS
     e2e_thrs = []
     for trial in range(E2E_TRIALS):
         gi.table.reset_cov()
@@ -309,13 +314,13 @@ def bench_ours(paths):
         gi.table.cov.block_until_ready()
         dt = time.perf_counter() - t0
         got = int(gi.table.cov.sum())
-        want = hits_once * REPEATS + trial + 1
+        want = hits_once * E2E_REPEATS + trial + 1
         if got != want:
             raise AssertionError(
                 f"e2e trial {trial}: cov sum {got} != expected {want} -- "
                 f"the end-to-end path did not do the expected work"
             )
-        thr = total_kmers / dt
+        thr = e2e_kmers / dt
         ok = thr <= PHYS_MAX_KMERS_PER_SEC
         log(f"end-to-end trial {trial}: {dt:.3f}s -> {thr/1e6:.1f}M kmers/s "
             f"[sum OK]{'' if ok else ' REJECTED: exceeds physical bound'}")
@@ -328,6 +333,16 @@ def bench_ours(paths):
 LARGE_TABLE_KEYS = 24_000_000  # ~the 1 Gbp rehearsal's 29M-key regime
 LARGE_DEVICE_TRIALS = 3
 LARGE_E2E_TRIALS = 2
+# stream multiplier for the large-table configuration: the staged-phase
+# design amortizes per-phase costs over hundreds of batches, so the stream
+# must be long enough that steady state dominates (BENCH_r04 measured 60
+# batches = 0.12 Gb and recorded ~4x below the rehearsal's steady-state
+# rate; VERDICT r4 weak #1).  25 passes ~= 1 Gb / ~500 batches.
+LARGE_REPEATS = 25
+LARGE_REF_REPEATS = 6  # reference large-table stream (its rate is flat in
+                       # stream length; 6 passes ~= 90s window at its
+                       # measured 29M-key rate, enough for 1s-resolution
+                       # log timestamps)
 
 
 def bench_ours_large_table(paths):
@@ -366,38 +381,45 @@ def bench_ours_large_table(paths):
             p for p, _ in stream_packed_batches(fq, batch_size, max_len, K)
         )
     kmers_one_pass = count_total_kmers(paths["fqs"])
-    total_kmers = kmers_one_pass * REPEATS
-    stacks = []
-    pad = np.zeros_like(batches[0])
-    for i in range(0, len(batches), C._FUSE):
-        grp = batches[i : i + C._FUSE]
-        while len(grp) < C._FUSE:
-            grp.append(pad)
-        stacks.append(np.stack(grp))
-    dev_stacks = [jax.device_put(jnp.asarray(s)) for s in stacks]
+    total_kmers = kmers_one_pass * LARGE_REPEATS
     nq = batch_size * (max_len - K + 1)
-    sentinel = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # PRODUCTION super-group size for this table (scaled with M, exactly
+    # what count_reads picks): BENCH_r04's device loop dispatched stacks of
+    # _FUSE=4 batches -- a 10x-smaller amortization than production ran,
+    # understating the device rate
+    g = C._pick_super_rows(m, nq)
+    seq = batches * LARGE_REPEATS
+    groups = []
+    pad = np.zeros_like(batches[0])
+    for i in range(0, len(seq), g):
+        grp = seq[i : i + g]
+        while len(grp) < g:
+            grp.append(pad)  # zero rows emit nothing (production padding)
+        groups.append(np.stack(grp))
+    log(f"large-table stream: {len(seq)} batches "
+        f"({total_kmers/1e6:.0f}M k-mers) in {len(groups)} super-groups "
+        f"of {g}")
+    dev_groups = [jax.device_put(jnp.asarray(s)) for s in groups]
 
-    def one_pass(cov):
-        for s in dev_stacks:
+    def one_sweep(cov):
+        for s in dev_groups:
             cov = C._count_packed_super(cov, keys, s, K)
         return cov
 
     # expected hits (also warmup/compile); must match the small-table count
-    cov_once = one_pass(jnp.zeros((m,), jnp.uint32))
-    hits_once = int(cov_once.sum())
-    assert 0 < hits_once <= kmers_one_pass, (hits_once, kmers_one_pass)
-    log(f"large-table expected hits/pass: {hits_once}")
+    cov_once = one_sweep(jnp.zeros((m,), jnp.uint32))
+    hits_sweep = int(np.asarray(cov_once.sum()))
+    assert 0 < hits_sweep <= total_kmers, (hits_sweep, total_kmers)
+    log(f"large-table expected hits/sweep: {hits_sweep}")
 
     dev_thrs = []
     for trial in range(LARGE_DEVICE_TRIALS):
         cov = jnp.zeros((m,), jnp.uint32).at[trial].add(np.uint32(trial + 1))
         t0 = time.perf_counter()
-        for _ in range(REPEATS):
-            cov = one_pass(cov)
+        cov = one_sweep(cov)
         total = int(np.asarray(cov.sum()))  # real D2H fetch = real sync
         dt = time.perf_counter() - t0
-        want = hits_once * REPEATS + trial + 1
+        want = hits_sweep + trial + 1
         if total != want:
             raise AssertionError(
                 f"large-table device trial {trial}: cov sum {total} != "
@@ -409,7 +431,7 @@ def bench_ours_large_table(paths):
             f"{'' if ok else ' REJECTED: exceeds physical bound'}")
         if ok:
             dev_thrs.append(thr)
-    del dev_stacks
+    del dev_groups
     thr_dev = statistics.median(dev_thrs) if dev_thrs else 0.0
 
     # end-to-end through the production count_reads dispatch
@@ -419,7 +441,7 @@ def bench_ours_large_table(paths):
         hapbits=jnp.zeros((m, 1), jnp.uint32),
         refflag=jnp.zeros((m,), jnp.bool_), nhap=gi.table.nhap,
     )
-    files = paths["fqs"] * REPEATS
+    files = paths["fqs"] * LARGE_REPEATS
     e2e_thrs = []
     for trial in range(LARGE_E2E_TRIALS):
         big_table.cov = jnp.zeros((m,), jnp.uint32).at[trial].add(
@@ -428,7 +450,7 @@ def bench_ours_large_table(paths):
         C.count_reads(big_table, files, K, batch_size, max_len)
         got = int(np.asarray(big_table.cov.sum()))
         dt = time.perf_counter() - t0
-        want = hits_once * REPEATS + trial + 1
+        want = hits_sweep + trial + 1
         if got != want:
             raise AssertionError(
                 f"large-table e2e trial {trial}: cov sum {got} != "
@@ -441,11 +463,54 @@ def bench_ours_large_table(paths):
         if ok:
             e2e_thrs.append(thr)
     thr_e2e = statistics.median(e2e_thrs) if e2e_thrs else 0.0
-    return thr_e2e, thr_dev, m
+    return thr_e2e, thr_dev, m, big_keys
 
 
-def bench_reference(paths):
-    """Measure the reference binary's FASTQ k-mer collection phase."""
+def ensure_big_ref_graph(paths, big_keys):
+    """Write a reference-format graph.bin whose k-mer table is augmented to
+    the SAME key set as the large-table config (real keys + decoys), so the
+    reference binary can be measured in a MATCHED table regime.  BENCH_r04
+    divided the large-table rate by the reference's 267k-key rate -- but its
+    hash-map probe thrashes cache at 10^7+ keys (measured 6.9M k-mers/s at
+    29M keys vs 24.8M/s at 267k, BASELINE.md), so that denominator
+    overstated the baseline ~3.6x (VERDICT r4 missing #3)."""
+    import numpy as np
+
+    out = os.path.join(CACHE, "graph_big.bin")
+    if os.path.exists(out):
+        return out
+    log("building matched large-table reference graph.bin (one-time)...")
+    import jax.numpy as jnp
+
+    from varigraph_tpu.index.interop import save_reference_graph_bin
+    from varigraph_tpu.index.serialize import load_graph
+    from varigraph_tpu.ops.table import KmerTable
+
+    gi = load_graph(paths["graph"])
+    m = len(big_keys)
+    keys_small = gi.table.keys_np()
+    pos = np.searchsorted(big_keys, keys_small)
+    assert (big_keys[pos] == keys_small).all()
+    freq = np.ones(m, np.uint8)
+    freq[pos] = gi.table.freq_np()
+    words = np.zeros((m, gi.table.hap_words_np().shape[1]), np.uint32)
+    words[pos] = gi.table.hap_words_np()
+    refflag = np.zeros(m, bool)
+    refflag[pos] = gi.table.refflag_np()
+    tbl = KmerTable(keys=big_keys, cov=jnp.zeros((m,), jnp.uint32),
+                    freq=freq, hapbits=words, refflag=refflag,
+                    nhap=gi.table.nhap)
+    tbl._keys_np, tbl._freq_np = big_keys, freq
+    tbl._words_np, tbl._refflag_np = words, refflag
+    gi.table = tbl
+    save_reference_graph_bin(gi, out)
+    return out
+
+
+def bench_reference(paths, graph_bin=None, repeats=REPEATS, tag="small",
+                    timeout=900):
+    """Measure the reference binary's FASTQ k-mer collection phase against
+    ``graph_bin`` (default: its own construct output)."""
     build_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".ref_build")
     ref_bin = os.path.join(build_dir, "varigraph")
@@ -462,20 +527,21 @@ def bench_reference(paths):
     if not os.path.exists(ref_bin):
         log("reference binary not found; vs_baseline = 0")
         return None
-    graph_bin = os.path.join(CACHE, "graph.bin")
-    if not os.path.exists(graph_bin):
-        log("building reference graph.bin (one-time)...")
-        r = subprocess.run(
-            [ref_bin, "construct", "-r", paths["ref"], "-v", paths["vcf"],
-             "--save-graph", graph_bin, "-t", "2"],
-            capture_output=True, text=True, timeout=1800,
-        )
-        if r.returncode != 0:
-            log(f"reference construct failed: {r.stderr[-500:]}")
-            return None
-    cfg_path = os.path.join(CACHE, "samples_ref.cfg")
+    if graph_bin is None:
+        graph_bin = os.path.join(CACHE, "graph.bin")
+        if not os.path.exists(graph_bin):
+            log("building reference graph.bin (one-time)...")
+            r = subprocess.run(
+                [ref_bin, "construct", "-r", paths["ref"], "-v", paths["vcf"],
+                 "--save-graph", graph_bin, "-t", "2"],
+                capture_output=True, text=True, timeout=1800,
+            )
+            if r.returncode != 0:
+                log(f"reference construct failed: {r.stderr[-500:]}")
+                return None
+    cfg_path = os.path.join(CACHE, f"samples_ref_{tag}.cfg")
     with open(cfg_path, "w") as fh:
-        fh.write("S1 " + " ".join(paths["fqs"] * REPEATS) + "\n")
+        fh.write("S1 " + " ".join(paths["fqs"] * repeats) + "\n")
     # the reference's ThreadPool occasionally deadlocks at startup (0 CPU,
     # futex wait, observed 2026-08-20); bound each attempt and retry
     for attempt in range(3):
@@ -484,7 +550,7 @@ def bench_reference(paths):
             r = subprocess.run(
                 [ref_bin, "genotype", "--load-graph", graph_bin, "-s",
                  cfg_path, "-t", "2"],
-                capture_output=True, text=True, timeout=600, cwd=CACHE,
+                capture_output=True, text=True, timeout=timeout, cwd=CACHE,
             )
         except subprocess.TimeoutExpired:
             log(f"reference genotype attempt {attempt} timed out (its "
@@ -515,17 +581,24 @@ def bench_reference(paths):
         dt = time.perf_counter() - t0
     else:
         dt = t_end - t_start
-    total_kmers = count_total_kmers(paths["fqs"]) * REPEATS
+    total_kmers = count_total_kmers(paths["fqs"]) * repeats
     thr = total_kmers / dt
-    log(f"reference counting: {dt:.1f}s -> {thr/1e6:.1f}M kmers/s (2 threads)")
+    log(f"reference counting [{tag}]: {dt:.1f}s -> {thr/1e6:.1f}M kmers/s "
+        f"(2 threads)")
     return thr
 
 
 def main():
     paths = ensure_dataset()
     thr_e2e, thr_dev = bench_ours(paths)
-    lg_e2e, lg_dev, lg_keys = bench_ours_large_table(paths)
+    lg_e2e, lg_dev, lg_keys, big_keys = bench_ours_large_table(paths)
     ref = bench_reference(paths)
+    # MATCHED-regime baseline: the reference measured against the SAME
+    # 24M-key table (real keys + identical decoys, via the interop writer)
+    big_bin = ensure_big_ref_graph(paths, big_keys)
+    ref_large = bench_reference(paths, graph_bin=big_bin,
+                                repeats=LARGE_REF_REPEATS, tag="large",
+                                timeout=1200)
     print(json.dumps({
         "metric": "read_kmers_per_sec_per_chip",
         "value": round(thr_e2e, 1),
@@ -533,15 +606,19 @@ def main():
         "vs_baseline": round(thr_e2e / ref, 3) if ref else 0.0,
         "device_loop_value": round(thr_dev, 1),
         "device_vs_baseline": round(thr_dev / ref, 3) if ref else 0.0,
+        "baseline_value": round(ref, 1) if ref else 0.0,
         "large_table": {
             "keys": lg_keys,
             "value": round(lg_e2e, 1),
             "device_loop_value": round(lg_dev, 1),
-            # the reference's hash-map probe is ~O(1) in table size (if
-            # anything slower at 24M keys from cache misses), so the
-            # small-table reference rate is a conservative baseline here
-            "vs_baseline": round(lg_e2e / ref, 3) if ref else 0.0,
-            "device_vs_baseline": round(lg_dev / ref, 3) if ref else 0.0,
+            # baseline measured in the MATCHED regime: the reference binary
+            # counting the same stream against the same 24M-key table (its
+            # hash map thrashes cache there -- 6.9M k-mers/s at 29M keys in
+            # the 1 Gbp rehearsal vs 24.8M/s at 267k)
+            "baseline_value": round(ref_large, 1) if ref_large else 0.0,
+            "vs_baseline": round(lg_e2e / ref_large, 3) if ref_large else 0.0,
+            "device_vs_baseline":
+                round(lg_dev / ref_large, 3) if ref_large else 0.0,
         },
         "verified": True,
         "trials": "median of sum-verified trials; >4x kernel-ceiling rejected",

@@ -70,27 +70,36 @@ def _reads_and_table(nreads=150, seed=3):
 
 
 @pytest.mark.parametrize("super_rows", [4, 8, 12])
+@pytest.mark.parametrize("n_devices", [1, 0])
 def test_superbatch_count_reads_matches_default(tmp_path, monkeypatch,
-                                                super_rows):
+                                                super_rows, n_devices):
     """count_reads with the big-table path forced (tiny _BANDED_MAX_KEYS,
     small _SUPER_ROWS) == count_reads on the default per-batch path, for a
-    stream long enough to fill buffers several times plus a partial tail."""
+    stream long enough to fill buffers several times plus a partial tail.
+
+    n_devices=1 exercises the single-device superbatch path
+    (_count_packed_super); n_devices=0 uses all 8 virtual CPU devices and
+    exercises the hash-range-sharded mesh superbatch path
+    (parallel/mesh.make_count_super_hash_sharded), asserting parity between
+    the distributed and single-device formulations (VERDICT r4 #5)."""
     reads, table = _reads_and_table()
     fq = str(tmp_path / "r.fq.gz")
     _write_fastq(fq, reads)
 
-    base = C.count_reads(table, [fq], K, B, L, io_threads=1)
+    base = C.count_reads(table, [fq], K, B, L, n_devices=1, io_threads=1)
     want = table.cov_u8().copy()
     table.reset_cov()
 
     monkeypatch.setattr(C, "_BANDED_MAX_KEYS", 0)
     monkeypatch.setattr(C, "_SUPER_ROWS", super_rows)
-    got_bases = C.count_reads(table, [fq], K, B, L, io_threads=1)
+    got_bases = C.count_reads(table, [fq], K, B, L, n_devices=n_devices,
+                              io_threads=1)
     got = table.cov_u8()
 
     assert got_bases == base
     np.testing.assert_array_equal(got, want)
     assert want.sum() > 0  # the table was actually hit
+    assert len(got) == table.size  # shard padding trimmed
 
 
 def test_superbatch_exact_multiplicities(tmp_path, monkeypatch):

@@ -5,6 +5,8 @@ import gzip
 import os
 import subprocess
 
+from ref_util import run_reference
+
 import numpy as np
 import pytest
 
@@ -32,21 +34,17 @@ def shared_data(tmp_path_factory):
     )
     # reference construct + genotype
     graph_bin = os.path.join(out, "graph.bin")
-    r = subprocess.run(
-        [REF_BIN, "construct", "-r", paths["ref"], "-v", paths["vcf"],
+    run_reference(
+        ["construct", "-r", paths["ref"], "-v", paths["vcf"],
          "--save-graph", graph_bin, "-t", "2"],
-        capture_output=True, text=True, timeout=600,
     )
-    assert r.returncode == 0, r.stderr[-400:]
     cfg_path = os.path.join(out, "ref_samples.cfg")
     with open(cfg_path, "w") as fh:
         fh.write(f"S1 {paths['fq']}\n")
-    r = subprocess.run(
-        [REF_BIN, "genotype", "--load-graph", graph_bin, "-s", cfg_path,
-         "-t", "2"],
-        capture_output=True, text=True, timeout=600, cwd=out,
+    run_reference(
+        ["genotype", "--load-graph", graph_bin, "-s", cfg_path, "-t", "2"],
+        cwd=out,
     )
-    assert r.returncode == 0, r.stderr[-400:]
     return paths, out, graph_bin, os.path.join(out, "S1.varigraph.vcf.gz")
 
 
@@ -130,12 +128,10 @@ def test_reference_binary_genotypes_from_our_graph_bin(shared_data):
         fh.write(f"S1 {paths['fq']}\n")
     rundir = os.path.join(out, "refrun")
     os.makedirs(rundir, exist_ok=True)
-    r = subprocess.run(
-        [REF_BIN, "genotype", "--load-graph", ours_bin, "-s", cfg_path,
-         "-t", "2"],
-        capture_output=True, text=True, timeout=600, cwd=rundir,
+    run_reference(
+        ["genotype", "--load-graph", ours_bin, "-s", cfg_path, "-t", "2"],
+        cwd=rundir,
     )
-    assert r.returncode == 0, r.stderr[-800:]
     got = _gt_map(os.path.join(rundir, "S1.varigraph.vcf.gz"))
     ref = _gt_map(ref_vcf)
     shared = set(got) & set(ref)

@@ -12,6 +12,8 @@ import gzip
 import os
 import subprocess
 
+from ref_util import run_reference
+
 from varigraph_tpu.config import VarigraphConfig
 from varigraph_tpu.index.build import construct_graph_index
 from varigraph_tpu.index.serialize import load_graph, save_graph
@@ -107,21 +109,17 @@ def test_vcf_record_order_follows_input(mc_run):
 def test_multichrom_interop_parity(mc_run):
     paths, _, _, ours_vcf, out = mc_run
     graph_bin = os.path.join(out, "graph.bin")
-    r = subprocess.run(
-        [REF_BIN, "construct", "-r", paths["ref"], "-v", paths["vcf"],
+    run_reference(
+        ["construct", "-r", paths["ref"], "-v", paths["vcf"],
          "--save-graph", graph_bin, "-t", "2"],
-        capture_output=True, text=True, timeout=600,
     )
-    assert r.returncode == 0, r.stderr[-400:]
     cfg_path = os.path.join(out, "ref_samples.cfg")
     with open(cfg_path, "w") as fh:
         fh.write(f"S1 {paths['fq']}\n")
-    r = subprocess.run(
-        [REF_BIN, "genotype", "--load-graph", graph_bin, "-s", cfg_path,
-         "-t", "2"],
-        capture_output=True, text=True, timeout=600, cwd=out,
+    run_reference(
+        ["genotype", "--load-graph", graph_bin, "-s", cfg_path, "-t", "2"],
+        cwd=out,
     )
-    assert r.returncode == 0, r.stderr[-400:]
     ref = _gt_map(os.path.join(out, "S1.varigraph.vcf.gz"))
     ours = _gt_map(ours_vcf)
     assert {c for c, _ in ref} == set(CHROMS)

@@ -96,7 +96,36 @@ _UPLOAD_DEPTH = 3    # uploads in flight ahead of the consumer
 # flat at 1-4M and 43.6 ms at 29M (50M k-mers/s device-side).
 _BANDED_MAX_KEYS = int(os.environ.get("VARIGRAPH_BANDED_MAX_KEYS",
                                       str(2 << 20)))
-_SUPER_ROWS = 24     # batches uploaded + joined per super-group dispatch
+_SUPER_ROWS_MIN = 24   # round-4 production value (measured safe at 29M keys)
+_SUPER_ROWS_MAX = 96   # HBM ceiling: 96 x 2.2M query slots + an 87M-key
+                       # table keeps the join's sort buffers ~10 GB on v5e
+# live-set factor of the superbatch join per (M + G*nq) sort element:
+# vals + vals_s u64 (16 B) + i32/bool scan intermediates (~12 B) + the
+# second sort's packed/packed_s u64 (16 B, overlapping lifetimes)
+_JOIN_BYTES_PER_ELEM = 36
+_JOIN_HBM_BUDGET = int(os.environ.get("VARIGRAPH_JOIN_HBM", str(11 * 10**9)))
+
+# fixed override for tests / experiments; None = scale with table size
+_SUPER_ROWS = (int(os.environ["VARIGRAPH_SUPER_ROWS"])
+               if os.environ.get("VARIGRAPH_SUPER_ROWS") else None)
+
+
+def _pick_super_rows(m: int, nq: int) -> int:
+    """Batches per super-group dispatch, scaled with table size.
+
+    The amortized table term per batch is M/G sort elements, so G grows with
+    M until the table term is <= ~1/3 of the per-batch query term (VERDICT r4
+    weak #3: the fixed G=24 extrapolated to ~25-30M k-mers/s at the 87M-key
+    human table; the table term at G=96 is 4x smaller).  Bounded by an HBM
+    budget for the join's peak live set."""
+    if _SUPER_ROWS:
+        return _SUPER_ROWS
+    g = -(-3 * m // max(nq, 1))              # ceil: table term <= nq/3
+    g = max(_SUPER_ROWS_MIN, min(_SUPER_ROWS_MAX, -(-g // 8) * 8))
+    while g > _SUPER_ROWS_MIN and \
+            _JOIN_BYTES_PER_ELEM * (m + g * nq) > _JOIN_HBM_BUDGET:
+        g -= 8
+    return g
 
 # Pace async dispatch with a real 4-byte D2H fetch every this many fused
 # groups (and after every super-join).  Through the axon tunnel
@@ -120,6 +149,19 @@ _STAGE_GROUPS = int(os.environ.get("VARIGRAPH_STAGE_GROUPS", "12"))
 
 def _pace(arr) -> None:
     np.asarray(jax.device_get(arr[:1]))
+
+
+def _malloc_trim() -> None:
+    """Return freed glibc arenas to the OS after each staged phase: the
+    tunnel client's per-super-join result buffers (M*4 bytes each) release
+    on reassignment but glibc keeps the pages, inflating ru_maxrss by ~GBs
+    over a long counting run (round-4 1 Gbp rehearsal: 31.9 GB peak)."""
+    try:
+        import ctypes
+
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
 
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
@@ -184,42 +226,74 @@ def count_reads(
     nbatches = 0
     max_len = (max_len + 3) // 4 * 4  # packed wire rows need L % 4 == 0
 
-    # multi-device: shard each batch across the mesh, psum the count deltas
-    # (parallel/mesh.py); single device uses the donated fused step
+    # multi-device: small tables shard each batch across the mesh and psum
+    # the count deltas; LARGE tables hash-range-shard the table itself and
+    # run the superbatch join per shard (parallel/mesh.py) -- the per-device
+    # table term scales down with mesh size.  Single device uses the donated
+    # fused steps.
     n_dev = jax.local_device_count()
     if n_devices:
         n_dev = min(n_devices, n_dev)
+    big_table = table.size > _BANDED_MAX_KEYS
+    nq = batch_size * (max_len - k + 1)
+    super_rows = _pick_super_rows(table.size, nq)
     mesh_step = None
+    mesh_super = None
     sharding = None
+    keys_dev = table.keys
+    cov0 = table.cov
     if n_dev > 1 and batch_size % n_dev == 0:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import make_count_batch_replicated_packed, make_mesh
+        from ..parallel.mesh import (
+            make_count_batch_replicated_packed,
+            make_count_super_hash_sharded,
+            make_mesh,
+            shard_table_arrays,
+        )
 
         mesh = make_mesh(n_dev)
-        mesh_step = make_count_batch_replicated_packed(mesh, k)
-        # fused groups upload sharded over the batch axis; slicing group[j]
-        # yields a [B, L] array already laid out P("data", None)
-        sharding = NamedSharding(mesh, P(None, "data", None))
-        log(f"counting data-parallel over {n_dev} devices", func="count_reads")
+        if big_table:
+            # super_rows must split evenly over the mesh (F-axis sharding)
+            super_rows = -(-super_rows // n_dev) * n_dev
+            mesh_super = make_count_super_hash_sharded(mesh, k)
+            keys_dev, cov0, _m_real = shard_table_arrays(
+                mesh, table.keys_np(), np.asarray(table.cov)
+            )
+            sharding = NamedSharding(mesh, P("data", None, None))
+            log(f"counting hash-range-sharded over {n_dev} devices "
+                f"({table.size / 1e6:.1f}M keys, "
+                f"{table.size / n_dev / 1e6:.1f}M per device)",
+                func="count_reads")
+        else:
+            mesh_step = make_count_batch_replicated_packed(mesh, k)
+            # fused groups upload sharded over the batch axis; slicing
+            # group[j] yields a [B, L] array already laid out P("data", None)
+            sharding = NamedSharding(mesh, P(None, "data", None))
+            log(f"counting data-parallel over {n_dev} devices",
+                func="count_reads")
 
     for path in fastq_files:
         log(f"Collecting kmers from read on device: {path}", func="count_reads")
 
-    # large-table regime: upload _SUPER_ROWS batches per group and run ONE
+    # large-table regime: upload super_rows batches per group and run ONE
     # fused sketch+join dispatch per group (see _BANDED_MAX_KEYS and
     # _count_packed_super above)
-    big_table = mesh_step is None and table.size > _BANDED_MAX_KEYS
-    fuse = _SUPER_ROWS if big_table else _FUSE
+    stage_groups = max(3, min(_STAGE_GROUPS, (_STAGE_GROUPS * 24) // super_rows))
+    fuse = super_rows if big_table else _FUSE
     if big_table:
-        nq = batch_size * (max_len - k + 1)
         log(f"large-table counting: {table.size / 1e6:.1f}M keys, "
-            f"one fused sketch+join dispatch per {_SUPER_ROWS} batches "
-            f"({_SUPER_ROWS * nq / 1e6:.0f}M query slots)",
+            f"one fused sketch+join dispatch per {super_rows} batches "
+            f"({super_rows * nq / 1e6:.0f}M query slots), "
+            f"{stage_groups} groups staged per phase",
             func="count_reads")
 
-    accs = [table.cov] + [
-        jnp.zeros_like(table.cov) for _ in range(_N_ACCUMULATORS - 1)
+    # the big-table path only ever accumulates into accs[0] (one super-join
+    # at a time); the round-robin buffers exist so the SMALL-table path can
+    # overlap per-group joins -- allocating them at 87M keys would waste
+    # 2*M*4 bytes of HBM (ADVICE r4)
+    accs = [cov0] if big_table else [cov0] + [
+        jnp.zeros_like(cov0) for _ in range(_N_ACCUMULATORS - 1)
     ]
 
     def upload(arr):
@@ -257,9 +331,9 @@ def count_reads(
         slot = ngroups % _N_ACCUMULATORS
         if mesh_step is not None:
             for j in range(n_real):
-                accs[slot] = mesh_step(accs[slot], table.keys, dev[j])
+                accs[slot] = mesh_step(accs[slot], keys_dev, dev[j])
         else:
-            accs[slot] = _count_fused(accs[slot], table.keys, dev, k)
+            accs[slot] = _count_fused(accs[slot], keys_dev, dev, k)
             if ngroups % _PACE_GROUPS == _PACE_GROUPS - 1:
                 waits["dispatch"] += _time.perf_counter() - t0
                 sync_point(accs[slot])
@@ -275,7 +349,10 @@ def count_reads(
         nonlocal read_base, ngroups, nbatches
         t0 = _time.perf_counter()
         for dev, gb, n_real in staged:
-            accs[0] = _count_packed_super(accs[0], table.keys, dev, k)
+            if mesh_super is not None:
+                accs[0] = mesh_super(accs[0], keys_dev, dev)
+            else:
+                accs[0] = _count_packed_super(accs[0], keys_dev, dev, k)
             read_base += gb
             ngroups += 1
             nbatches += n_real
@@ -298,7 +375,7 @@ def count_reads(
             ):
                 waits["feed"] += _time.perf_counter() - tfeed
                 pending.append((pool.submit(upload, stacked), gb, n_real))
-                if len(pending) >= _STAGE_GROUPS:
+                if len(pending) >= stage_groups:
                     t0 = _time.perf_counter()
                     while pending:
                         fut, g, n = pending.popleft()
@@ -317,9 +394,10 @@ def count_reads(
 
                         log(f"phase: upload {up_dt:.2f}s "
                             f"exec {_time.perf_counter() - t0:.2f}s "
-                            f"({_STAGE_GROUPS} groups, rss "
+                            f"({stage_groups} groups, rss "
                             f"{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6:.1f}"
                             f" GB)", func="count_reads")
+                    _malloc_trim()
                 tfeed = _time.perf_counter()
             t0 = _time.perf_counter()
             while pending:
@@ -354,6 +432,9 @@ def count_reads(
     cov = accs[0]
     for extra in accs[1:]:
         cov = cov + extra
+    if mesh_super is not None and cov.shape[0] != table.size:
+        # trim the hash-shard padding back to the real table length
+        cov = jnp.asarray(np.asarray(jax.device_get(cov))[: table.size])
     _pace(cov)  # real sync: block_until_ready returns early via the tunnel
     table.cov = cov
     log(f"Processed {nbatches} batches, {read_base / 1e9:.2f} Gb",

@@ -501,8 +501,24 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
     if not windows_all:
         return results
 
+    # multi-host: shard windows round-robin across processes -- each host
+    # preps AND scores only its share, and the per-window results union at
+    # the end (parallel/dist.merge_results_across_hosts).  Per-window
+    # results are grouping-independent (windows are independent chains, the
+    # per-window RNG is seeded by (seed, chrom, w_id), and S/U are pinned
+    # up front), so the merged output is identical to a single-process run.
+    # Replaces round-4's fully-redundant multi-host scoring (VERDICT r4 #6).
+    n_proc = jax.process_count()
+    windows_mine = windows_all
+    if n_proc > 1:
+        pid = jax.process_index()
+        windows_mine = windows_all[pid::n_proc]
+        log(f"window-sharded scoring: process {pid}/{n_proc} scores "
+            f"{len(windows_mine)}/{len(windows_all)} windows",
+            func="genotype_jax")
+
     def prep_iter():
-        for chrom, w_id, lo, hi in windows_all:
+        for chrom, w_id, lo, hi in windows_mine:
             rng = np.random.Generator(
                 np.random.PCG64([seed, window_rng_seed(chrom), w_id])
             )
@@ -531,7 +547,24 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
     # bounded at genome scale (a whole-genome run has thousands of 1 Mb
     # windows; [W, N, S] alpha/beta at W=3000 would be several GB)
     Wg = min(_pow2(len(windows_all), 1), _WINDOW_GROUP)
-    S = U = 0
+    # pin S/U to their config-derived upper bounds UP FRONT: the state list
+    # is increment_vector over exactly haploid_num selected haplotypes, so
+    # its size (and the used-hap count) depends only on (haploid_num,
+    # sample_type, ploidy) -- growing lazily instead risks ONE late outlier
+    # window triggering a mid-rehearsal recompile that costs minutes through
+    # the remote-compile tunnel (ADVICE r4).  Env overrides keep an escape
+    # hatch for experiments.
+    hn = min(cfg.haploid_num, gi.nhap)
+    if P > 2:
+        # polyploid combos: one ploidy-block per selected hap, deduped
+        s_bound, u_bound = hn + 1, min(gi.nhap, hn * P + 1)
+    else:
+        s_bound = len(
+            increment_vector(list(range(hn)), cfg.sample_type, P, gi.nhap - 1)
+        )
+        u_bound = hn
+    S = int(os.environ.get("VARIGRAPH_PIN_S", _pow2(s_bound, 4)))
+    U = int(os.environ.get("VARIGRAPH_PIN_U", max(32, _pow2(u_bound, 4))))
 
     fre_mode = cfg.transition_pro_type != "rec"
 
@@ -663,6 +696,10 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         "posterior {post:.2f}s".format(**_t),
         func="genotype_jax",
     )
+    if n_proc > 1:
+        from ..parallel.dist import merge_results_across_hosts
+
+        results = merge_results_across_hosts(results)
     return results
 
 

@@ -33,7 +33,13 @@ class RefSpan:
     (typically <= k-1 bases per visit).
 
     Implements exactly the str operations the walker
-    (find_node_up_down_seq), serializers, and engines use."""
+    (find_node_up_down_seq), serializers, and engines use: len/bool,
+    indexing/slicing, str(), +/radd, ==, hash, encode, upper.
+    INTENTIONALLY UNSUPPORTED (raise AttributeError): startswith, count,
+    replace, find, split, iteration protocols beyond __getitem__.  Note
+    `in`/`for` fall back to per-char __getitem__ (correct but quadratic)
+    and ==/hash materialize the whole slice -- if a new consumer needs
+    those on genome-scale fillers, add a dedicated method instead."""
 
     __slots__ = ("_b", "_lo", "_hi")
 
@@ -371,6 +377,12 @@ def build_graph_from_vcf(
         # 100 samples, per-string elements cost ~2.5 GB of Python object
         # overhead; everything that consumes the mirror either reads columns
         # 0-8 or re-joins/re-splits on tabs (serialize, interop).
+        # Duplicate-site records append ADDITIONAL 10-element blocks to the
+        # same start's list; note that serialize.load_graph folds everything
+        # past element 9 into ONE tab-joined element on load (element
+        # boundaries differ in-memory vs loaded, content is identical after
+        # a tab re-split) -- any future consumer indexing elements 9+ must
+        # re-split on tabs rather than trust block boundaries (ADVICE r4).
         info_list = vcf_info.setdefault(chromosome, {}).setdefault(ref_start, [])
         for qry in qry_seq_vec:
             classify_variant(ref_len, len(qry), stats)

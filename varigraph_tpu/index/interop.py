@@ -198,7 +198,11 @@ def save_reference_graph_bin(gi: GraphIndex, path: str) -> None:
     log(f"Reference-format Genome Graph index saved to file: {path}")
     import io
 
-    w = io.BytesIO()
+    # buffered stream straight to the file: a BytesIO of the node section
+    # is ~the whole genome of allele text (~4 GB of extra peak RSS at the
+    # 3 Gbp human scale)
+    fh_out = open(path, "wb")
+    w = io.BufferedWriter(fh_out, buffer_size=4 << 20)
     w.write(struct.pack("<QII", gi.graph_base_num, gi.kmer_len, gi.vcf_ploidy))
 
     # ---- VCF head + vcfInfoMap (with chromosome lengths) ----
@@ -279,9 +283,10 @@ def save_reference_graph_bin(gi: GraphIndex, path: str) -> None:
     rec["bits"][:, blen - 1] |= (
         gi.table.refflag_np().astype(np.uint8) << 7
     )
-    with open(path, "wb") as fh:
-        fh.write(w.getvalue())
-        rec.tofile(fh)
+    w.flush()
+    w.detach()  # disarm the wrapper so fh_out isn't double-closed
+    rec.tofile(fh_out)
+    fh_out.close()
 
 
 def _np_little() -> bool:

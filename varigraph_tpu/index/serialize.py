@@ -244,20 +244,25 @@ def load_graph(path: str) -> GraphIndex:
     tbl_freq = z["tbl_freq"]
     tbl_bits = z["tbl_bits"]
     tbl_refflag = z["tbl_refflag"]
+    # keys/cov go to the device (the counting join needs them); freq /
+    # hapbits / refflag stay HOST-side numpy -- no device compute ever reads
+    # them (every consumer uses the *_np views), and eagerly uploading the
+    # [M, W] bit matrix costs ~2.4 GB of HBM + a minutes-long tunnel
+    # transfer at the 87M-key human-scale table
     table = KmerTable(
         keys=jnp.asarray(tbl_keys),
         cov=jnp.zeros((len(tbl_keys),), jnp.uint32),
-        freq=jnp.asarray(tbl_freq),
-        hapbits=jnp.asarray(tbl_bits),
-        refflag=jnp.asarray(tbl_refflag),
+        freq=np.ascontiguousarray(tbl_freq),
+        hapbits=np.ascontiguousarray(tbl_bits),
+        refflag=np.ascontiguousarray(tbl_refflag),
         nhap=nhap,
     )
     # seed the memoized host views (avoids minutes-long D2H fetches of the
     # big table arrays through the axon tunnel, see KmerTable.build_packed)
     table._keys_np = np.ascontiguousarray(tbl_keys)
-    table._freq_np = np.ascontiguousarray(tbl_freq)
-    table._words_np = np.ascontiguousarray(tbl_bits)
-    table._refflag_np = np.ascontiguousarray(tbl_refflag)
+    table._freq_np = table.freq
+    table._words_np = table.hapbits
+    table._refflag_np = table.refflag
 
     stats = VariantStats(**meta["stats"])
     gi = GraphIndex(

@@ -255,6 +255,9 @@ def bytes_to_words(packed_bytes: np.ndarray, nhap: int) -> np.ndarray:
 
 @dataclass
 class KmerTable:
+    # keys/cov are device arrays (the counting join consumes them); freq /
+    # hapbits / refflag may be host numpy OR device arrays -- production
+    # builders keep them host-side since only the *_np views are ever read
     keys: jnp.ndarray      # uint64 [M] sorted
     cov: jnp.ndarray       # uint32 [M]
     freq: jnp.ndarray      # uint8  [M]
@@ -300,12 +303,15 @@ class KmerTable:
         words = bytes_to_words(hapbit_bytes, nhap)
         freq = freq.astype(np.uint8)
         refflag = refflag.astype(np.bool_)
+        # freq/hapbits/refflag stay host numpy: no device compute reads them
+        # (all consumers use the *_np views), and the [M, W] bit matrix is
+        # ~2.4 GB of HBM + tunnel upload at the 87M-key human-scale table
         t = KmerTable(
             keys=jnp.asarray(keys),
             cov=jnp.zeros((len(keys),), jnp.uint32),
-            freq=jnp.asarray(freq),
-            hapbits=jnp.asarray(words),
-            refflag=jnp.asarray(refflag),
+            freq=freq,
+            hapbits=words,
+            refflag=refflag,
             nhap=nhap,
         )
         # seed the memoized host views from the source arrays: a D2H fetch

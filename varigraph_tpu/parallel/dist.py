@@ -53,6 +53,35 @@ def assign_files_to_process(files: list[str]) -> list[str]:
     return [f for i, f in enumerate(files) if i % n == pid]
 
 
+def merge_results_across_hosts(results: dict) -> dict:
+    """Union the per-process window-scoring results (each process scores its
+    round-robin share of windows, engine_jax.genotype_jax); every host
+    returns the identical merged dict, so downstream state stays in sync and
+    process 0 can write the VCF.
+
+    Payload rides one two-step allgather (sizes, then pickled bytes padded
+    to the max) -- ~100 B/site, tens of MB at genome scale, once per
+    sample."""
+    import pickle
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(results), np.uint8)
+    lens = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([blob.size], jnp.int64)
+    )).reshape(-1)
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[: blob.size] = blob
+    blobs = np.asarray(multihost_utils.process_allgather(jnp.asarray(padded)))
+    merged: dict = {}
+    for i in range(jax.process_count()):
+        merged.update(pickle.loads(blobs[i, : int(lens[i])].tobytes()))
+    log(f"merged scoring results from {jax.process_count()} hosts "
+        f"({len(merged)} records)", func="merge_results_across_hosts")
+    return merged
+
+
 def merge_counts_across_hosts(cov, read_base: int):
     """Sum per-host coverage accumulators and read-base totals across all
     processes; every host returns the identical merged state.
