@@ -568,6 +568,29 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
 
     fre_mode = cfg.transition_pro_type != "rec"
 
+    # local multi-device: shard the window axis of the forward/backward
+    # batch across this host's devices (the HMM scan is vmapped over
+    # independent windows, so partitioning W is communication-free; XLA
+    # reshards the emission stack over ICI).  Composes with the multi-host
+    # round-robin window split above.  Single device (the tunnel chip) and
+    # tiny runs (Wg % n_ldev != 0) are unaffected.
+    n_ldev = jax.local_device_count()
+    if getattr(cfg, "mesh_devices", 0):
+        n_ldev = min(n_ldev, cfg.mesh_devices)
+    w_sharding = None
+    if n_ldev > 1 and Wg % n_ldev == 0:
+        from jax.sharding import Mesh as _Mesh, NamedSharding as _NS, \
+            PartitionSpec as _PS
+
+        _wmesh = _Mesh(np.array(jax.local_devices()[:n_ldev]), ("data",))
+        w_sharding = _NS(_wmesh, _PS("data"))
+        log(f"window-sharded forward/backward over {n_ldev} local devices",
+            func="genotype_jax")
+
+    def _put_w(arr):
+        return jax.device_put(arr, w_sharding) if w_sharding is not None \
+            else jnp.asarray(arr)
+
     from ..ops.table import pack_hapbits
 
     def padK(a, shape, fill=0):
@@ -677,10 +700,10 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
 
         _t0b = _time.perf_counter()
         alpha, beta = _forward_backward(
-            jnp.stack(dev_logE), jnp.asarray(kind_all),
-            jnp.asarray(lrf), jnp.asarray(lnrf), jnp.asarray(lrb),
-            jnp.asarray(lnrb),
-            jnp.asarray(ov_all), jnp.asarray(lw_all), jnp.asarray(sm_all),
+            _put_w(jnp.stack(dev_logE)), _put_w(kind_all),
+            _put_w(lrf), _put_w(lnrf), _put_w(lrb),
+            _put_w(lnrb),
+            _put_w(ov_all), _put_w(lw_all), _put_w(sm_all),
             jnp.bool_(fre_mode), P,
         )
         alpha = np.asarray(alpha)

@@ -121,8 +121,17 @@ def graph2node(gi: GraphIndex, max_kmers: int = 128) -> None:
 
         # stable (node, freq, position) order; rank-within-node caps at
         # max_kmers; final within-node order = position when the node kept
-        # everything, else the (freq, position) rank
-        order = np.lexsort((pos_in, fr, node_f))
+        # everything, else the (freq, position) rank.  Packed single-key
+        # u64 sorts instead of 3-key lexsorts: each lexsort is 3 stable
+        # passes over tens of millions of rows at genome scale, and the
+        # composite keys are unique (position is), so one plain sort gives
+        # the identical order ~2-3x faster.
+        assert node_f.size < (1 << 32) and n < (1 << 24)
+        order = np.argsort(
+            (node_f.astype(np.uint64) << np.uint64(40))
+            | (fr.astype(np.uint64) << np.uint64(32))
+            | pos_in.astype(np.uint64)
+        )
         node_s = node_f[order]
         new_seg = np.empty(len(node_s), bool)
         if len(node_s):
@@ -134,7 +143,10 @@ def graph2node(gi: GraphIndex, max_kmers: int = 128) -> None:
         cnt = np.bincount(node_f, minlength=n) if len(node_f) else np.zeros(n, np.int64)
         keep = rank < max_kmers
         sortkey = np.where(cnt[node_s] > max_kmers, rank, pos_in[order])
-        fin = np.lexsort((sortkey[keep], node_s[keep]))
+        fin = np.argsort(
+            (node_s[keep].astype(np.uint64) << np.uint64(40))
+            | sortkey[keep].astype(np.uint64)
+        )
         final = order[keep][fin]
 
         out_idx = ti[final].astype(np.int64)

@@ -29,8 +29,11 @@ _VERSION = 1
 
 # members stored WITHOUT deflate: u64 hash arrays are ~incompressible
 # (hash64/Murmur outputs), so deflating them costs CPU for nothing -- at
-# the 1 Gbp scale kmer_flat + tbl_keys are ~600 MB of the write
-_STORED_MEMBERS = frozenset({"kmer_flat", "tbl_keys"})
+# the 1 Gbp scale kmer_flat + tbl_keys are ~600 MB of the write.
+# tbl_bits (dense per-key hap words at production hap counts) measured
+# 26 s of deflate for a 0.87 compression ratio at 1 Gbp / 201 haps
+# (tools/save_profile.py) -- the single largest save cost, for nothing.
+_STORED_MEMBERS = frozenset({"kmer_flat", "tbl_keys", "tbl_bits"})
 
 
 def _savez_level1(fh, **arrays) -> None:
@@ -109,7 +112,9 @@ def save_graph(gi: GraphIndex, path: str) -> None:
     for c, smap in gi.vcf_info.items():
         for start, cols in smap.items():
             vcf_lines.append("\t".join([c, str(start)] + cols))
-    vcf_info_blob = zlib.compress("\n".join(vcf_lines).encode("utf-8"), 6)
+    # level 1: the mirror is highly repetitive VCF text (level 6 measured
+    # 16.8 s vs ~5 s at 1 Gbp for a few-MB size difference)
+    vcf_info_blob = zlib.compress("\n".join(vcf_lines).encode("utf-8"), 1)
 
     meta = {
         "magic": _MAGIC,
