@@ -16,6 +16,21 @@ def _rss_gb() -> float:
     import resource
 
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
+def _rss_now_gb() -> float:
+    """Current VmRSS (ru_maxrss is the sticky peak; through the axon tunnel
+    the IFRT-proxy client's transfer arena balloons transiently during the
+    first counting phase and is released after -- a single ~20 GB anonymous
+    VMA, /proc smaps, 2026-08-21)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return _rss_gb()
 from .counting import count_reads
 from .coverage import estimate_hap_coverage
 from .engine_np import genotype_np, graph2node
@@ -123,7 +138,7 @@ def genotype_one_sample(
             # and N concurrent writers to one path is a write race
             save_counts(gi, counts_out, read_base)
     log(f"phase timing: counting {_time.perf_counter()-_t0:.2f}s "
-        f"(rss {_rss_gb():.1f} GB)", func="genotype_one_sample")
+        f"(rss now {_rss_now_gb():.1f} / peak {_rss_gb():.1f} GB)", func="genotype_one_sample")
     read_depth = read_base / float(gi.genome_size)
 
     _t0 = _time.perf_counter()
@@ -135,7 +150,7 @@ def genotype_one_sample(
         read_depth, cfg.use_depth,
     )
     log(f"phase timing: coverage model {_time.perf_counter()-_t0:.2f}s "
-        f"(rss {_rss_gb():.1f} GB)", func="genotype_one_sample")
+        f"(rss now {_rss_now_gb():.1f} / peak {_rss_gb():.1f} GB)", func="genotype_one_sample")
     log(f"Size of the sequenced data: {read_base / 1e9:.2f} Gb")
     log(f"Depth of the sequenced data: {read_depth:.2f}")
     log(f"Coverage of haplotype k-mers: {hap_cov:.2f}")
@@ -155,7 +170,7 @@ def genotype_one_sample(
 
         results = genotype_jax(gi, cfg, hap_cov, cfg.seed, host_arrays)
     log(f"phase timing: scoring {_time.perf_counter()-_t0:.2f}s "
-        f"(rss {_rss_gb():.1f} GB)", func="genotype_one_sample")
+        f"(rss now {_rss_now_gb():.1f} / peak {_rss_gb():.1f} GB)", func="genotype_one_sample")
 
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, f"{sample_name}.varigraph.vcf.gz")
