@@ -67,8 +67,7 @@ def _unpack_bits32(pk: jnp.ndarray) -> jnp.ndarray:
     return b.astype(jnp.float32).reshape(pk.shape[0], pk.shape[1], -1)
 
 
-@jax.jit
-def _emissions(
+def _emissions_body(
     c,          # [B, K] int32   raw coverage (saturated u8)
     f,          # [B, K] int32   graph frequency
     flag,       # [B, K] bool    ref flag

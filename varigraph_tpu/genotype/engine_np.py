@@ -89,6 +89,21 @@ def graph2node(gi: GraphIndex, max_kmers: int = 128) -> None:
     Per-node semantics are preserved exactly: nodes with <= max_kmers hits
     keep their original k-mer order; larger nodes keep the lowest-frequency
     max_kmers in stable (frequency, position) order."""
+    # precomputed path: construct_graph_index resolves the CSR once and
+    # serialize restores it; only the per-node attribute views remain
+    if max_kmers == 128 and all(  # 128 = the default the CSR was built with
+        c in gi.graph.tbl_csr for c in gi.graph.nodes
+    ):
+        for chrom in gi.graph.nodes:
+            nodes = gi.graph.nodes[chrom]
+            off, idx, lp = gi.graph.tbl_csr[chrom]
+            is_var = gi.graph.gt_len[chrom] > 1
+            for i in np.flatnonzero(is_var):
+                nd = nodes[i]
+                nd.table_idx = idx[off[i]:off[i + 1]]
+                nd.local_packed = lp[off[i]:off[i + 1]]
+        return
+
     keys = gi.table.keys_np()
     freq = gi.table.freq_np()
     nbytes = (gi.nhap + 7) // 8

@@ -624,4 +624,18 @@ def construct_graph_index(config: VarigraphConfig) -> GraphIndex:
     log(f"Total number of bases in the Genome Graph: {gi.graph_base_num}")
     log(f"Total number of k-mers present in the Genome Graph: {table.size}")
     log(f"Total number of haplotypes present in the Genome Graph: {gi.nhap}")
+
+    # resolve node k-mers -> table indices NOW, like the reference's
+    # graph2node_run inside construct (construct_index.cpp:1572-1603); the
+    # result is static graph+table content, rides the .vgt (serialize), and
+    # every genotype run then skips the big host join (244.6 s at 3 Gbp,
+    # rehearsals/r5_genotype_3g.log)
+    import time as _time
+
+    from ..genotype.engine_np import graph2node
+
+    _t0 = _time.time()
+    graph2node(gi)
+    log(f"graph2node precomputed ({_time.time() - _t0:.1f}s)",
+        func="graph2node")
     return gi

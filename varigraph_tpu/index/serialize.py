@@ -129,10 +129,35 @@ def save_graph(gi: GraphIndex, path: str) -> None:
         "stats": vars(gi.stats),
     }
 
+    # precomputed graph2node CSR (node k-mer -> table index resolution):
+    # static content, so it ships with the graph and genotype runs skip the
+    # 87.8M-row host join (244.6 s at 3 Gbp).  construct_graph_index
+    # computes it; compute here as a fallback for indexes built by other
+    # paths (e.g. interop-loaded graphs being re-saved).
+    if not all(c in gi.graph.tbl_csr for c in chroms):
+        from ..genotype.engine_np import graph2node
+
+        graph2node(gi)
+    tc_off_parts, tc_idx_parts, tc_lp_parts = [], [], []
+    for c in chroms:
+        off, idx, lp = gi.graph.tbl_csr[c]
+        tc_off_parts.append(np.asarray(off, np.int64))
+        tc_idx_parts.append(np.asarray(idx, np.uint32))
+        tc_lp_parts.append(
+            np.asarray(lp, np.uint8).reshape(len(idx), -1) if len(idx)
+            else np.zeros((0, nbytes), np.uint8)
+        )
+    tc_off = np.concatenate(tc_off_parts)
+    tc_idx = np.concatenate(tc_idx_parts)
+    tc_lp = np.concatenate(tc_lp_parts)
+
     fh = open(path, "wb")  # pass a handle so numpy keeps the exact filename
     _savez_level1(
         fh,
         meta=np.frombuffer(json.dumps(meta).encode("utf-8"), np.uint8),
+        tc_off=tc_off,
+        tc_idx=tc_idx,
+        tc_lp=tc_lp,
         vcf_head=np.frombuffer(gi.vcf_head.encode("utf-8"), np.uint8),
         vcf_info=np.frombuffer(vcf_info_blob, np.uint8),
         node_chrom=np.array(node_chrom, np.int32),
@@ -222,6 +247,23 @@ def load_graph(path: str) -> GraphIndex:
         node.kmer_hashes = kmer_flat[km_off[i] : km_off[i + 1]]  # u64 view
         node.local_bits = local_bits_arr[km_off[i] : km_off[i + 1]]
     graph.finalize()
+
+    # precomputed graph2node CSR, if the file carries it (additive member;
+    # engine_np.graph2node then skips its host join entirely)
+    if "tc_idx" in z.files:
+        tc_off = z["tc_off"]
+        tc_idx = z["tc_idx"].astype(np.int64)
+        tc_lp = z["tc_lp"]
+        pos = ipos = 0
+        for ci, chrom in enumerate(chroms):
+            n_c = int((node_chrom == ci).sum())
+            off = tc_off[pos : pos + n_c + 1]
+            pos += n_c + 1
+            k_c = int(off[-1]) if len(off) else 0
+            graph.tbl_csr[chrom] = (
+                off, tc_idx[ipos : ipos + k_c], tc_lp[ipos : ipos + k_c]
+            )
+            ipos += k_c
 
     # per-chromosome k-mer CSR straight from the flat layout (nodes are
     # saved grouped by chromosome in sorted node order, which is exactly
