@@ -160,6 +160,31 @@ def _emissions_body(
     return jnp.where(smask[None, :], logE, -jnp.inf)
 
 
+_emissions = jax.jit(_emissions_body)
+
+# Grouped emissions: one dispatch scores a [G, N, ...] stack of windows,
+# each with its OWN state-count matrix / state mask (vmapped over the
+# window axis; scalars broadcast).  Through the remote-execution tunnel a
+# dispatch costs ~0.05-1.1 s of client overhead, and the per-window
+# formulation issued one dispatch per window -- 3,000+ for a 3 Gbp genome
+# (emit 70.9 s / fb share of 242.8 s, rehearsals/r5_genotype_3g.log).
+# Grouping cuts emission dispatches ~Gc-fold with identical numerics
+# (windows are independent; pad windows have smask all-False -> -inf rows,
+# exactly the old pad filler).
+_emissions_group = jax.jit(
+    jax.vmap(
+        _emissions_body,
+        in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0,
+                 None, None, None, None, None, None),
+    )
+)
+
+# total padded node rows per grouped-emissions dispatch: bounds the
+# [rows, K, S] intermediates (rows*K*S*4B*~3 live tensors; 4096 rows at
+# K=S=128 is ~0.8 GB)
+_EMIT_ROWS = int(os.environ.get("VARIGRAPH_EMIT_ROWS", "4096"))
+
+
 # ======================================================================
 # forward/backward scan
 # ======================================================================
@@ -179,26 +204,32 @@ def _forward_backward(
     """Returns (alpha, beta) [W, N, S]."""
     Pf = jnp.float32(P)
     nvalid = smask.sum(axis=-1).astype(jnp.float32)  # [W]
+    # T[i,j] = norec^ov * rec^(P-ov) with ov in {0..P}: the transition
+    # matrix has only P+1 DISTINCT values per step, so decompose it into
+    # P+1 static 0/1 class masks (from the int overlap matrix, once per
+    # window) and per-step scalar weights t_c = exp(c*lnr + (P-c)*lr).
+    # alpha @ T becomes P+1 mask matvecs + a tiny weighted sum -- the old
+    # per-step [S, S] exp build cost 4.2M transcendentals per scan step at
+    # the production batch (fb ~17-20 s per 256-window group through every
+    # round; this removes ~99% of that work with identical t values).
+    cls = jnp.arange(P + 1, dtype=jnp.float32)        # [P+1]
+    mcls = Pf - cls
 
-    def make_T(lr, lnr, ov):
-        # T[i,j] = norec^ov * rec^(P-ov); safe at rec==0 (m==0 -> factor 1)
-        ovf = ov.astype(jnp.float32)
-        m = Pf - ovf
-        a = jnp.where(ovf == 0.0, 0.0, ovf * lnr)
-        b = jnp.where(m == 0.0, 0.0, m * lr)
-        return jnp.exp(a + b)
-
-    def step(carry, xs, ov, lw, sm, nv):
+    def step(carry, xs, M, lw, sm, nv):
         alpha, fresh = carry
         le, knd, lr, lnr = xs
         e = jnp.where(sm, jnp.exp(le - jnp.max(jnp.where(sm, le, -jnp.inf))), 0.0)
 
         def real_step():
-            T = make_T(lr, lnr, ov)  # [S, S]
+            # safe at rec==0 (class weight exponent 0 -> factor 1)
+            a = jnp.where(cls == 0.0, 0.0, cls * lnr)
+            b = jnp.where(mcls == 0.0, 0.0, mcls * lr)
+            t = jnp.exp(a + b)                        # [P+1]
             flow = jnp.where(
                 fre_mode,
                 alpha.sum() * jnp.exp(jnp.where(sm, lw, 0.0)),
-                alpha @ T,
+                jnp.einsum("s,csj,c->j", alpha, M, t,
+                           preferred_element_type=jnp.float32),
             )
             raw = jnp.where(fresh, e, flow * e)
             tot = raw.sum()
@@ -212,13 +243,16 @@ def _forward_backward(
 
     def run_window(le_w, kind_w, lrf, lnrf, lrb, lnrb, ov, lw, sm, nv):
         S = le_w.shape[-1]
+        # [P+1, S, S] 0/1 class masks; static across the scan
+        M = (ov[None, :, :] == jnp.arange(P + 1, dtype=ov.dtype)[:, None, None]
+             ).astype(jnp.float32)
         init = (jnp.zeros((S,), jnp.float32), jnp.bool_(True))
         _, alpha = jax.lax.scan(
-            lambda c, x: step(c, x, ov, lw, sm, nv),
+            lambda c, x: step(c, x, M, lw, sm, nv),
             init, (le_w, kind_w, lrf, lnrf),
         )
         _, beta_rev = jax.lax.scan(
-            lambda c, x: step(c, x, ov, lw, sm, nv),
+            lambda c, x: step(c, x, M, lw, sm, nv),
             init,
             (le_w[::-1], kind_w[::-1], lrb[::-1], lnrb[::-1]),
         )
@@ -592,13 +626,6 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
 
     from ..ops.table import pack_hapbits
 
-    def padK(a, shape, fill=0):
-        out = np.full(shape, fill, a.dtype)
-        out[tuple(slice(0, d) for d in a.shape)] = a
-        return out
-
-    pad_logE = None  # device [N, S] filler for group padding (kind=0 rows)
-
     import itertools
     from concurrent.futures import ThreadPoolExecutor
 
@@ -621,7 +648,6 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         gU = max(32, _pow2(max(len(p_.used_haps) for p_ in group), 4))
         if gS > S or gU > U:
             S, U = max(S, gS), max(U, gU)
-            pad_logE = None  # shape changed; rebuild the filler
         kind_all = np.zeros((Wg, N), np.int32)
         lrf = np.zeros((Wg, N), np.float32)
         lnrf = np.zeros((Wg, N), np.float32)
@@ -630,58 +656,37 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         ov_all = np.zeros((Wg, S, S), np.int32)
         lw_all = np.full((Wg, S), 0.0, np.float32)
         sm_all = np.zeros((Wg, S), bool)
-        dev_logE = []
+        Ww = U // 32
+        c_all = np.zeros((Wg, N, K), np.int32)
+        f_all = np.zeros((Wg, N, K), np.int32)
+        flag_all = np.zeros((Wg, N, K), bool)
+        kmask_all = np.zeros((Wg, N, K), bool)
+        bits_all = np.zeros((Wg, N, K, Ww), np.uint32)
+        local_all = np.zeros((Wg, N, K, Ww), np.uint32)
+        gt0_all = np.zeros((Wg, N, U), bool)
+        sc_all = np.zeros((Wg, U, S), np.float32)
 
         _te = _time.perf_counter()
-        Nc = min(N, _NODE_CHUNK)
         for wi, prep in enumerate(group):
             n = len(prep.node_refs)
             s = len(prep.states)
-            # pad the node axis to N as well so the emission kernel compiles
-            # once; hap bitmasks ship packed (u32 words).  Pack the n real
-            # rows first, THEN pad to N: packing scales with the window's
-            # actual node count, not the padded power-of-two shape.
-            Ww = U // 32
-            bits_pk = padK(
-                pack_hapbits(prep.bits_u.reshape(n * K, -1)).reshape(n, K, -1),
-                (N, K, Ww),
-            )
-            local_pk = padK(
-                pack_hapbits(prep.local_u.reshape(n * K, -1)).reshape(n, K, -1),
-                (N, K, Ww),
-            )
-            gt0_u = padK(prep.gt0_u, (N, U))
-            state_cnt = jnp.asarray(
-                padK(state_count_matrix(prep.state_u, U), (U, S))
-            )
-            smask = np.zeros(S, bool)
-            smask[:s] = True
-            smask = jnp.asarray(smask)
-            c_p = padK(prep.c, (N, K))
-            f_p = padK(prep.f, (N, K))
-            flag_p = padK(prep.flag, (N, K))
-            kmask_p = padK(prep.kmask, (N, K))
-
-            # node axis in fixed-size chunks: bounds the [Nc, K, S] emission
-            # intermediates regardless of how many nodes a window holds
-            parts = []
-            for c0 in range(0, N, Nc):
-                c1 = c0 + Nc
-                parts.append(_emissions(
-                    jnp.asarray(c_p[c0:c1]),
-                    jnp.asarray(f_p[c0:c1]),
-                    jnp.asarray(flag_p[c0:c1]),
-                    jnp.asarray(kmask_p[c0:c1]),
-                    jnp.asarray(bits_pk[c0:c1]),
-                    jnp.asarray(local_pk[c0:c1]),
-                    jnp.asarray(gt0_u[c0:c1]), state_cnt, smask,
-                    np.float32(hap_cov), np.float32(prep.lower),
-                    np.float32(prep.upper),
-                    np.float32(np.log(p)), np.float32(np.log(q)),
-                    np.float32(log_prior),
-                ))
-            logE = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-            dev_logE.append(logE)  # stays on device; stacked below
+            # pack the n real rows first, THEN place into the padded stack:
+            # packing scales with the window's actual node count, not the
+            # padded power-of-two shape.  Pad windows (wi >= len(group))
+            # keep all-zero inputs and an all-False state mask, which the
+            # emission kernel maps to -inf rows -- the former explicit pad
+            # filler, computed in-batch.
+            bp = pack_hapbits(prep.bits_u.reshape(n * K, -1)).reshape(n, K, -1)
+            lp = pack_hapbits(prep.local_u.reshape(n * K, -1)).reshape(n, K, -1)
+            bits_all[wi, :n, :, : bp.shape[2]] = bp
+            local_all[wi, :n, :, : lp.shape[2]] = lp
+            gt0_all[wi, :n, : prep.gt0_u.shape[1]] = prep.gt0_u
+            sc = state_count_matrix(prep.state_u, U)
+            sc_all[wi, :, : sc.shape[1]] = sc
+            c_all[wi, :n] = prep.c
+            f_all[wi, :n] = prep.f
+            flag_all[wi, :n] = prep.flag
+            kmask_all[wi, :n] = prep.kmask
             kind_all[wi, :n] = prep.kind
             lrf[wi, :n] = prep.log_rec_f
             lnrf[wi, :n] = prep.log_norec_f
@@ -691,15 +696,52 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
             lw_all[wi, :s] = prep.log_w
             sm_all[wi, :s] = True
 
-        if len(dev_logE) < Wg:
-            if pad_logE is None:
-                pad_logE = jnp.full((N, S), -jnp.inf, jnp.float32)
-            dev_logE.extend([pad_logE] * (Wg - len(dev_logE)))
+        # grouped emission dispatches: Gc windows per call (one vmapped
+        # kernel), bounding the [rows, K, S] intermediates to _EMIT_ROWS
+        # padded node rows.  One dispatch per WINDOW (the old formulation)
+        # cost 3,000+ tunnel round-trips at 3 Gbp.
+        lo_w, up_w = group[0].lower, group[0].upper  # hap_cov-derived, equal
+                                                     # for every window
+        scalars = (np.float32(hap_cov), np.float32(lo_w), np.float32(up_w),
+                   np.float32(np.log(p)), np.float32(np.log(q)),
+                   np.float32(log_prior))
+        Gc = max(1, min(Wg, _EMIT_ROWS // N))
+        parts = []
+        for g0 in range(0, Wg, Gc):
+            g1 = g0 + Gc
+            if N > _EMIT_ROWS:
+                # giant windows: chunk the node axis within the window
+                sub = []
+                for c0 in range(0, N, _NODE_CHUNK):
+                    c1 = c0 + _NODE_CHUNK
+                    sub.append(_emissions(
+                        jnp.asarray(c_all[g0, c0:c1]),
+                        jnp.asarray(f_all[g0, c0:c1]),
+                        jnp.asarray(flag_all[g0, c0:c1]),
+                        jnp.asarray(kmask_all[g0, c0:c1]),
+                        jnp.asarray(bits_all[g0, c0:c1]),
+                        jnp.asarray(local_all[g0, c0:c1]),
+                        jnp.asarray(gt0_all[g0, c0:c1]),
+                        jnp.asarray(sc_all[g0]), jnp.asarray(sm_all[g0]),
+                        *scalars,
+                    ))
+                parts.append(jnp.concatenate(sub)[None])
+            else:
+                parts.append(_emissions_group(
+                    jnp.asarray(c_all[g0:g1]), jnp.asarray(f_all[g0:g1]),
+                    jnp.asarray(flag_all[g0:g1]),
+                    jnp.asarray(kmask_all[g0:g1]),
+                    jnp.asarray(bits_all[g0:g1]),
+                    jnp.asarray(local_all[g0:g1]),
+                    jnp.asarray(gt0_all[g0:g1]), jnp.asarray(sc_all[g0:g1]),
+                    jnp.asarray(sm_all[g0:g1]), *scalars,
+                ))
+        logE_all = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         _t["emit"] += _time.perf_counter() - _te
 
         _t0b = _time.perf_counter()
         alpha, beta = _forward_backward(
-            _put_w(jnp.stack(dev_logE)), _put_w(kind_all),
+            _put_w(logE_all), _put_w(kind_all),
             _put_w(lrf), _put_w(lnrf), _put_w(lrb),
             _put_w(lnrb),
             _put_w(ov_all), _put_w(lw_all), _put_w(sm_all),
