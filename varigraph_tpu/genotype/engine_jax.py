@@ -631,6 +631,8 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
 
     it = prep_iter()
     pool = ThreadPoolExecutor(max_workers=1)
+    post_pool = ThreadPoolExecutor(max_workers=1)
+    post_fut = None
 
     def take():
         return list(itertools.islice(it, Wg))
@@ -751,13 +753,26 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         beta = np.asarray(beta)
         _t["fb"] += _time.perf_counter() - _t0b
 
+        # posterior runs on a single worker thread so it overlaps the NEXT
+        # group's prep/upload/device work (the big numpy ops release the
+        # GIL; the main thread mostly waits on tunnel I/O).  One worker +
+        # join-at-end keeps `results` single-writer.
         _tp = _time.perf_counter()
-        _posterior_window_group(group, alpha, beta, results)
-        _t["post"] += _time.perf_counter() - _tp
+        if post_fut is not None:
+            post_fut.result()
+            _t["post"] += _time.perf_counter() - _tp
+        post_fut = post_pool.submit(
+            _posterior_window_group, group, alpha, beta, results
+        )
 
+    _tp = _time.perf_counter()
+    if post_fut is not None:
+        post_fut.result()
+    post_pool.shutdown(wait=True)
+    _t["post"] += _time.perf_counter() - _tp
     log(
         "engine timing: prep {prep:.2f}s emit {emit:.2f}s fb {fb:.2f}s "
-        "posterior {post:.2f}s".format(**_t),
+        "posterior {post:.2f}s (non-overlapped)".format(**_t),
         func="genotype_jax",
     )
     if n_proc > 1:
