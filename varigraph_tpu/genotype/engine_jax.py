@@ -659,8 +659,11 @@ def genotype_jax(gi: GraphIndex, cfg, hap_cov: float, seed: int,
         lw_all = np.full((Wg, S), 0.0, np.float32)
         sm_all = np.zeros((Wg, S), bool)
         Ww = U // 32
-        c_all = np.zeros((Wg, N, K), np.int32)
-        f_all = np.zeros((Wg, N, K), np.int32)
+        # u8 wire types: coverage is saturated u8 and graph frequency is u8
+        # by construction, and the emission kernel upcasts on device -- 4x
+        # less H2D per group (c/f were the two largest emission operands)
+        c_all = np.zeros((Wg, N, K), np.uint8)
+        f_all = np.zeros((Wg, N, K), np.uint8)
         flag_all = np.zeros((Wg, N, K), bool)
         kmask_all = np.zeros((Wg, N, K), bool)
         bits_all = np.zeros((Wg, N, K, Ww), np.uint32)
