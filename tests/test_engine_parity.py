@@ -99,3 +99,21 @@ def test_window_group_chunking_matches(ready_index, monkeypatch):
     for k in res_full:
         assert res_full[k].hap_vec == res_chunked[k].hap_vec, k
         assert res_full[k].probability == res_chunked[k].probability, k
+
+
+def test_giant_window_emission_fallback(ready_index, monkeypatch):
+    """Forcing _EMIT_ROWS below N exercises the giant-window branch
+    (per-window node-chunked _emissions dispatches); results must equal
+    the grouped-emissions default path exactly."""
+    import varigraph_tpu.genotype.engine_jax as ej
+
+    gi, cfg, hap_cov, _ = ready_index
+    cfg.transition_pro_type = "rec"
+    base = genotype_jax(gi, cfg, hap_cov, cfg.seed)
+    monkeypatch.setattr(ej, "_EMIT_ROWS", 1)
+    monkeypatch.setattr(ej, "_NODE_CHUNK", 4)
+    got = genotype_jax(gi, cfg, hap_cov, cfg.seed)
+    assert set(base.keys()) == set(got.keys()) and base
+    for k in base:
+        assert base[k].hap_vec == got[k].hap_vec, k
+        assert abs(base[k].probability - got[k].probability) < 1e-6, k
