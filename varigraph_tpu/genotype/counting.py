@@ -7,14 +7,14 @@ Replaces the reference's thread-pooled per-read hash-map probing
 
 Host->device feed design (the end-to-end bottleneck): read batches travel
 in the 2-bit PACKED wire format ([B, L/4+2] rows: 4 bases/byte + u16 valid
-length, ops/kmer.unpack_2bit) -- 4x fewer H2D bytes at ~full entropy, which
-matters doubly through the axon tunnel (its client compresses low-entropy
-buffers at ~40 MB/s but ships high-entropy ones at ~1 GB/s,
-tools/h2d_probe2.py).  Batches are additionally FUSED -- ``_FUSE`` host
-batches stack into one [F, B, L/4+2] upload, and one jitted ``lax.scan``
-dispatch joins all F sub-batches.  Uploads run on a small thread pool
-(depth ``_UPLOAD_DEPTH``) so H2D copies overlap both the gz/packing feed
-and device compute.
+length, ops/kmer.unpack_2bit) -- 4x fewer H2D bytes, which matters through
+the axon tunnel (H2D measured ~25-50 MB/s against an idle device,
+2026-08-21; earlier entropy-dependent rates no longer reproduce).  Batches
+are additionally FUSED -- ``_FUSE`` host batches stack into one
+[F, B, L/4+2] upload, and one jitted ``lax.scan`` dispatch joins all F
+sub-batches.  Small tables overlap uploads with compute on a thread pool
+(depth ``_UPLOAD_DEPTH``); large tables alternate idle-device upload
+phases with back-to-back dispatch phases instead (see _STAGE_GROUPS).
 """
 
 from __future__ import annotations
