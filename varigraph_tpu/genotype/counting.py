@@ -12,9 +12,12 @@ the axon tunnel (H2D measured ~25-50 MB/s against an idle device,
 2026-08-21; earlier entropy-dependent rates no longer reproduce).  Batches
 are additionally FUSED -- ``_FUSE`` host batches stack into one
 [F, B, L/4+2] upload, and one jitted ``lax.scan`` dispatch joins all F
-sub-batches.  Small tables overlap uploads with compute on a thread pool
-(depth ``_UPLOAD_DEPTH``); large tables alternate idle-device upload
-phases with back-to-back dispatch phases instead (see _STAGE_GROUPS).
+sub-batches.  BOTH regimes alternate idle-device upload phases with
+back-to-back dispatch phases (see _STAGE_GROUPS): interleaving uploads
+with executions collapses the tunnel relay channel, and the former
+small-table interleaved pipeline measured wall = feed + device time with
+no overlap (the feed threads stalled on a full merge queue at every
+pacing sync).
 """
 
 from __future__ import annotations
@@ -79,10 +82,8 @@ def _count_fused(cov: jnp.ndarray, keys: jnp.ndarray, packed_f: jnp.ndarray,
     return cov
 
 
-_N_ACCUMULATORS = 3  # round-robin coverage buffers so group n+1's join can
-                     # start while group n's is still in flight
 _FUSE = 4            # host batches stacked per H2D upload / device dispatch
-_UPLOAD_DEPTH = 3    # uploads in flight ahead of the consumer
+_UPLOAD_DEPTH = 3    # device_put workers preparing a phase's uploads
 
 # ---- large-table regime -------------------------------------------------
 # Above this many table keys the per-batch joins stop making sense: the
@@ -126,15 +127,6 @@ def _pick_super_rows(m: int, nq: int) -> int:
             _JOIN_BYTES_PER_ELEM * (m + g * nq) > _JOIN_HBM_BUDGET:
         g -= 8
     return g
-
-# Pace async dispatch with a real 4-byte D2H fetch every this many fused
-# groups (and after every super-join).  Through the axon tunnel
-# block_until_ready() returns early, so without a real fetch the client
-# enqueues thousands of dispatches ahead of execution -- the round-4 1 Gbp
-# rehearsal (4,070 batches in ~155 s of enqueue) lost its tunnel session
-# mid-backlog and hung forever on the next fetch.  One small fetch per
-# ~window keeps the client within a bounded lead at ~50 ms per sync.
-_PACE_GROUPS = 8
 
 # Large-table super-groups staged on device per phase.  Measured 2026-08-21:
 # H2D through the tunnel runs ~40 MB/s against an IDLE device but collapses
@@ -279,8 +271,8 @@ def count_reads(
     # large-table regime: upload super_rows batches per group and run ONE
     # fused sketch+join dispatch per group (see _BANDED_MAX_KEYS and
     # _count_packed_super above)
-    stage_groups = max(3, min(_STAGE_GROUPS, (_STAGE_GROUPS * 24) // super_rows))
     fuse = super_rows if big_table else _FUSE
+    stage_groups = max(3, min(_STAGE_GROUPS, (_STAGE_GROUPS * 24) // fuse))
     if big_table:
         log(f"large-table counting: {table.size / 1e6:.1f}M keys, "
             f"one fused sketch+join dispatch per {super_rows} batches "
@@ -288,71 +280,38 @@ def count_reads(
             f"{stage_groups} groups staged per phase",
             func="count_reads")
 
-    # the big-table path only ever accumulates into accs[0] (one super-join
-    # at a time); the round-robin buffers exist so the SMALL-table path can
-    # overlap per-group joins -- allocating them at 87M keys would waste
-    # 2*M*4 bytes of HBM (ADVICE r4)
-    accs = [cov0] if big_table else [cov0] + [
-        jnp.zeros_like(cov0) for _ in range(_N_ACCUMULATORS - 1)
-    ]
+    # one accumulator: phases dispatch back-to-back chained joins, so extra
+    # round-robin buffers would only waste M*4 bytes of HBM each (ADVICE r4)
+    accs = [cov0]
+
+    def _force(dev):
+        np.asarray(jax.device_get(dev[0, 0, :1]))
 
     def upload(arr):
         return jax.device_put(arr, sharding) if sharding is not None \
             else jax.device_put(arr)
 
     pool = ThreadPoolExecutor(max_workers=_UPLOAD_DEPTH)
-    inflight: collections.deque = collections.deque()
-    # deferred pacing: a tiny [:1] slice handle is created right after a
-    # dispatch (before any later donation can invalidate the buffer) and
-    # FETCHED one pace-point later, so the device always has the next
-    # super-join / group window queued while the client syncs on the
-    # previous one -- bounded lead without stalling the pipeline
-    pending_sync = None
     timing = os.environ.get("VARIGRAPH_COUNT_TIMING")
     waits = {"upload": 0.0, "sync": 0.0, "dispatch": 0.0, "feed": 0.0}
     import time as _time
 
-    def sync_point(arr):
-        nonlocal pending_sync
-        h = arr[:1]
-        if pending_sync is not None:
-            t0 = _time.perf_counter()
-            np.asarray(jax.device_get(pending_sync))
-            waits["sync"] += _time.perf_counter() - t0
-        pending_sync = h
-
-    def drain_one():
-        nonlocal read_base, ngroups, nbatches
-        fut, gb, n_real = inflight.popleft()
-        t0 = _time.perf_counter()
-        dev = fut.result()
-        waits["upload"] += _time.perf_counter() - t0
-        t0 = _time.perf_counter()
-        slot = ngroups % _N_ACCUMULATORS
-        if mesh_step is not None:
-            for j in range(n_real):
-                accs[slot] = mesh_step(accs[slot], keys_dev, dev[j])
-        else:
-            accs[slot] = _count_fused(accs[slot], keys_dev, dev, k)
-            if ngroups % _PACE_GROUPS == _PACE_GROUPS - 1:
-                waits["dispatch"] += _time.perf_counter() - t0
-                sync_point(accs[slot])
-                t0 = _time.perf_counter()
-        waits["dispatch"] += _time.perf_counter() - t0
-        read_base += gb
-        ngroups += 1
-        nbatches += n_real
-
     def flush_staged(staged):
-        """Phase B: dispatch every staged super-group back-to-back, then one
+        """Phase B: dispatch every staged group back-to-back, then one
         real sync.  No uploads happen while the device executes."""
         nonlocal read_base, ngroups, nbatches
         t0 = _time.perf_counter()
         for dev, gb, n_real in staged:
-            if mesh_super is not None:
-                accs[0] = mesh_super(accs[0], keys_dev, dev)
+            if big_table:
+                if mesh_super is not None:
+                    accs[0] = mesh_super(accs[0], keys_dev, dev)
+                else:
+                    accs[0] = _count_packed_super(accs[0], keys_dev, dev, k)
+            elif mesh_step is not None:
+                for j in range(n_real):
+                    accs[0] = mesh_step(accs[0], keys_dev, dev[j])
             else:
-                accs[0] = _count_packed_super(accs[0], keys_dev, dev, k)
+                accs[0] = _count_fused(accs[0], keys_dev, dev, k)
             read_base += gb
             ngroups += 1
             nbatches += n_real
@@ -363,65 +322,59 @@ def count_reads(
         staged.clear()
 
     try:
-        if big_table:
-            # phase-alternating staging (see _STAGE_GROUPS)
-            staged: list = []
-            pending: collections.deque = collections.deque()
-            tfeed = _time.perf_counter()
-            for stacked, gb, n_real in _fused_groups(
-                stream_packed_batches_multi(fastq_files, batch_size, max_len,
-                                            k, max_parallel=max(io_threads, 1)),
-                fuse,
-            ):
-                waits["feed"] += _time.perf_counter() - tfeed
-                pending.append((pool.submit(upload, stacked), gb, n_real))
-                if len(pending) >= stage_groups:
-                    t0 = _time.perf_counter()
-                    while pending:
-                        fut, g, n = pending.popleft()
-                        dev = fut.result()
-                        # force the transfer to COMPLETE while the device is
-                        # idle (device_put is lazy; a 4-byte fetch of a slice
-                        # pulls the whole buffer across)
-                        np.asarray(jax.device_get(dev[0, 0, :1]))
-                        staged.append((dev, g, n))
-                    up_dt = _time.perf_counter() - t0
-                    waits["upload"] += up_dt
-                    t0 = _time.perf_counter()
-                    flush_staged(staged)
-                    if timing:
-                        import resource
-
-                        log(f"phase: upload {up_dt:.2f}s "
-                            f"exec {_time.perf_counter() - t0:.2f}s "
-                            f"({stage_groups} groups, rss "
-                            f"{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6:.1f}"
-                            f" GB)", func="count_reads")
-                    _malloc_trim()
-                tfeed = _time.perf_counter()
-            t0 = _time.perf_counter()
-            while pending:
-                fut, g, n = pending.popleft()
-                dev = fut.result()
-                np.asarray(jax.device_get(dev[0, 0, :1]))
-                staged.append((dev, g, n))
-            waits["upload"] += _time.perf_counter() - t0
-            if staged:
+        # phase-alternating staging for BOTH regimes (see _STAGE_GROUPS):
+        # uploads interleaved with executions collapse the tunnel's relay
+        # channel, and interleaved-pipeline small-table counting measured
+        # wall = feed + device (no overlap) because the feed threads stalled
+        # on a full merge queue during every pacing sync.  Upload a phase of
+        # groups against the idle device, dispatch back-to-back, sync once;
+        # the feed keeps producing into the deep merge-queue buffer
+        # throughout (io/fastq._merge_file_streams).
+        staged: list = []
+        pending: collections.deque = collections.deque()
+        tfeed = _time.perf_counter()
+        for stacked, gb, n_real in _fused_groups(
+            stream_packed_batches_multi(fastq_files, batch_size, max_len,
+                                        k, max_parallel=max(io_threads, 1)),
+            fuse,
+        ):
+            waits["feed"] += _time.perf_counter() - tfeed
+            pending.append((pool.submit(upload, stacked), gb, n_real))
+            if len(pending) >= stage_groups:
+                t0 = _time.perf_counter()
+                while pending:
+                    fut, g, n = pending.popleft()
+                    staged.append((fut.result(), g, n))
+                # force the transfers to COMPLETE while the device is idle
+                # (device_put is lazy; a 4-byte fetch of a slice pulls the
+                # whole buffer across), concurrently to multiplex the relay
+                # channel.  Eager per-upload forcing (overlapping the feed)
+                # measured no better -- the relay's total rate is the cap,
+                # not the ordering (probe_small4-6, 2026-08-21).
+                list(pool.map(_force, (d for d, _, _ in staged)))
+                up_dt = _time.perf_counter() - t0
+                waits["upload"] += up_dt
+                t0 = _time.perf_counter()
                 flush_staged(staged)
-        else:
+                if timing:
+                    import resource
+
+                    log(f"phase: upload {up_dt:.2f}s "
+                        f"exec {_time.perf_counter() - t0:.2f}s "
+                        f"({stage_groups} groups, rss "
+                        f"{resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6:.1f}"
+                        f" GB)", func="count_reads")
+                if big_table:
+                    _malloc_trim()
             tfeed = _time.perf_counter()
-            for stacked, gb, n_real in _fused_groups(
-                stream_packed_batches_multi(fastq_files, batch_size, max_len,
-                                            k, max_parallel=max(io_threads, 1)),
-                fuse,
-            ):
-                waits["feed"] += _time.perf_counter() - tfeed
-                inflight.append((pool.submit(upload, stacked), gb, n_real))
-                if len(inflight) >= _UPLOAD_DEPTH:
-                    drain_one()
-                tfeed = _time.perf_counter()
-            while inflight:
-                drain_one()
+        t0 = _time.perf_counter()
+        while pending:
+            fut, g, n = pending.popleft()
+            staged.append((fut.result(), g, n))
+        list(pool.map(_force, (d for d, _, _ in staged)))
+        waits["upload"] += _time.perf_counter() - t0
+        if staged:
+            flush_staged(staged)
     finally:
         pool.shutdown(wait=False)
     if timing:
@@ -430,8 +383,6 @@ def count_reads(
             func="count_reads")
 
     cov = accs[0]
-    for extra in accs[1:]:
-        cov = cov + extra
     if mesh_super is not None and cov.shape[0] != table.size:
         # trim the hash-shard padding back to the real table length
         cov = jnp.asarray(np.asarray(jax.device_get(cov))[: table.size])
