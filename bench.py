@@ -608,8 +608,33 @@ def bench_reference(paths, graph_bin=None, repeats=REPEATS, tag="small",
     return thr
 
 
+def measure_h2d_mb_s(size_mb=48, trials=3):
+    """Median host->device MB/s for a fresh buffer, forced with a D2H
+    slice fetch (device_put is lazy through the tunnel).  Recorded in the
+    JSON so the artifact self-documents the channel state: the tunnel's
+    H2D rate drifts 65 -> ~8 MB/s over a working session (2026-08-21)
+    and bounds the end-to-end numbers, while the pure-device loops stay
+    stable to <2%."""
+    import jax
+    import numpy as np
+
+    buf = np.random.default_rng(0).integers(
+        0, 255, size=(trials, size_mb << 20), dtype=np.uint8)
+    rates = []
+    for i in range(trials):
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf[i])
+        np.asarray(jax.device_get(dev[:1]))
+        rates.append(size_mb / (time.perf_counter() - t0))
+        del dev
+    r = statistics.median(rates)
+    log(f"H2D channel: {r:.1f} MB/s (median of {trials} x {size_mb} MB)")
+    return round(r, 1)
+
+
 def main():
     paths = ensure_dataset()
+    h2d_pre = measure_h2d_mb_s()
     thr_a, thr_dev, e2e_round = bench_ours(paths)
     lg_e2e, lg_dev, lg_keys, big_keys = bench_ours_large_table(paths)
     ref = bench_reference(paths)
@@ -623,11 +648,16 @@ def main():
     # tunnel-variance policy in bench_ours)
     thr_b = e2e_round(1)
     thr_e2e = max(thr_a, thr_b)
+    h2d_post = measure_h2d_mb_s()
     print(json.dumps({
         "metric": "read_kmers_per_sec_per_chip",
         "value": round(thr_e2e, 1),
         "unit": "kmers/s",
         "e2e_round_medians": [round(thr_a, 1), round(thr_b, 1)],
+        # channel state when the e2e numbers were taken: 65 MB/s = good,
+        # <15 MB/s = degraded tunnel session (e2e is then channel-bound,
+        # not software-bound; the device loops are the stable signal)
+        "h2d_mb_s": [h2d_pre, h2d_post],
         "vs_baseline": round(thr_e2e / ref, 3) if ref else 0.0,
         "device_loop_value": round(thr_dev, 1),
         "device_vs_baseline": round(thr_dev / ref, 3) if ref else 0.0,
